@@ -1,0 +1,77 @@
+"""Middlebury ``.flo`` optical flow I/O.
+
+Format (reference ``io/flo_io.py:1-11``): float32 magic 202021.25, int32
+width/height, then row-major interleaved (u, v) float32 pairs.  Host-side
+numpy — I/O never touches the device.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+TAG_FLOAT = 202021.25
+
+
+def read_flo(filename):
+    """Read a ``.flo`` file into an (H, W, 2) float32 array."""
+    with open(filename, "rb") as f:
+        tag = np.fromfile(f, np.float32, count=1)[0]
+        if tag != np.float32(TAG_FLOAT):
+            raise ValueError(f"Invalid .flo file tag: {tag} (expected {TAG_FLOAT})")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32)
+    return data.reshape((h, w, 2))
+
+
+def write_flo(flow, filename):
+    """Write an (H, W, 2) flow field as ``.flo``."""
+    flow = np.asarray(flow, dtype=np.float32)
+    if flow.ndim != 3 or flow.shape[2] != 2:
+        raise ValueError(f"Flow must be (H, W, 2) array, got shape {flow.shape}")
+    h, w = flow.shape[:2]
+    with open(filename, "wb") as f:
+        np.array([TAG_FLOAT], dtype=np.float32).tofile(f)
+        np.array([w, h], dtype=np.int32).tofile(f)
+        flow.tofile(f)
+
+
+def read_flow_file(seq_name, i_seq, data_dir=None):
+    """Load a Middlebury image pair + ground-truth flow.
+
+    Layout (reference ``flo_io.py:66-113``):
+        data_dir/other-data/{seq}/frame{i:02d}.png
+        data_dir/other-gt-flow/{seq}/flow{i:02d}.flo
+
+    ``data_dir`` defaults to $OPTICAL_FLOW_DATA_DIR, falling back to the
+    reference checkout's data directory when present.
+    """
+    from PIL import Image
+
+    if data_dir is None:
+        data_dir = os.environ.get("OPTICAL_FLOW_DATA_DIR")
+    if data_dir is None:
+        for candidate in (
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "data"),
+            "/root/reference/data",
+        ):
+            if os.path.isdir(candidate):
+                data_dir = candidate
+                break
+    if data_dir is None:
+        raise FileNotFoundError(
+            "No Middlebury data directory found; set OPTICAL_FLOW_DATA_DIR."
+        )
+
+    img_dir = os.path.join(data_dir, "other-data", seq_name)
+    im1 = np.array(Image.open(os.path.join(img_dir, f"frame{i_seq:02d}.png"))).astype(np.float64)
+    im2 = np.array(Image.open(os.path.join(img_dir, f"frame{i_seq + 1:02d}.png"))).astype(np.float64)
+
+    gt_path = os.path.join(data_dir, "other-gt-flow", seq_name, f"flow{i_seq:02d}.flo")
+    if os.path.exists(gt_path):
+        gt = read_flo(gt_path)
+        tu, tv = gt[:, :, 0], gt[:, :, 1]
+    else:
+        tu = tv = None
+    return im1, im2, tu, tv

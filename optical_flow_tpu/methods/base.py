@@ -1,0 +1,118 @@
+"""Base class for optical flow estimation methods.
+
+API mirrors the reference ``methods/base.py`` (mutable attribute config +
+``parse_input_parameter``), but execution is reorganized TPU-first:
+
+* the coarse-to-fine schedule (pyramid shapes, GNC stages, alpha values) is
+  computed host-side as static data;
+* each pyramid-level solve is a single jitted program whose static
+  configuration is a frozen dataclass — ``jax.jit`` caches one executable
+  per (config, shape);
+* there is no sparse-matrix layer at all: linear systems live as
+  :class:`~optical_flow_tpu.ops.stencil.FlowSystem` coefficient fields and
+  are solved matrix-free (``solvers/``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, build_pyramid
+from optical_flow_tpu.ops.derivatives import DEFAULT_DERIV_FILTER
+from optical_flow_tpu.ops.penalties import Robust
+
+
+class BaseOpticalFlow:
+    """Shared mutable configuration (reference ``base.py:21-63``)."""
+
+    def __init__(self):
+        self.images = None
+        self.lambda_ = 1.0
+        self.lambda_q = 1.0
+        self.solver = "backslash"
+        self.pcg_rtol = 1e-3
+        self.pcg_maxiter = 200
+        self.backslash_rtol = 1e-7
+        self.backslash_maxiter = 1000
+        self.sor_max_iters = 10000
+        self.interpolation_method = "cubic"
+        self.deriv_filter = np.array(DEFAULT_DERIV_FILTER)
+        self.blend = 0.5
+        self.texture = False
+        self.fc = False
+        self.median_filter_size = None
+        self.limit_update = True
+        self.display = False
+        self.color_images = None
+        self.auto_level = True
+        self.alp = 0.95
+
+        # numeric precision of the compute path (tests may use float64 on CPU)
+        self.dtype = jnp.float32
+
+        # Pyramid settings
+        self.pyramid_levels = 4
+        self.pyramid_spacing = 2.0
+
+        # GNC settings
+        self.gnc_iters = 1
+        self.gnc_pyramid_levels = 2
+        self.gnc_pyramid_spacing = 1.25
+        self.alpha = 1.0
+
+        # Iteration settings
+        self.max_iters = 10
+        self.max_linear = 1
+
+        # Spatial filters and robust functions.  The spatial filters are the
+        # forward differences [[1,-1]] and [[1],[-1]] — in this framework
+        # they are hard-wired into the stencil operator
+        # (ops/stencil.py: forward_diff_h / forward_diff_v).
+        method = "quadratic"
+        self.rho_spatial_u = [Robust(method, (1.0,)), Robust(method, (1.0,))]
+        self.rho_spatial_v = [Robust(method, (1.0,)), Robust(method, (1.0,))]
+        self.rho_data = Robust(method, (1.0,))
+
+    # ------------------------------------------------------------------
+    # parameter handling (reference base.py:65-84)
+    # ------------------------------------------------------------------
+    def parse_input_parameter(self, params):
+        """Set parameters from a dict or MATLAB-style [k, v, k, v, ...] list."""
+        if isinstance(params, dict):
+            items = params.items()
+        elif isinstance(params, (list, tuple)):
+            items = zip(params[0::2], params[1::2])
+        else:
+            return
+        for key, val in items:
+            attr = "lambda_" if key == "lambda" else key
+            if hasattr(self, attr):
+                setattr(self, attr, val)
+
+    # ------------------------------------------------------------------
+    # host-side schedule helpers
+    # ------------------------------------------------------------------
+    def _auto_pyramid_levels(self, images):
+        return auto_pyramid_levels(images.shape[:2], self.pyramid_spacing)
+
+    def _build_pyramid(self, images, levels, spacing):
+        return build_pyramid(images, levels, spacing)
+
+    def _solver_cfg(self):
+        return (
+            str(self.solver),
+            float(self.pcg_rtol),
+            int(self.pcg_maxiter),
+            float(self.backslash_rtol),
+            int(self.backslash_maxiter),
+        )
+
+    def _as_dtype(self, x):
+        return jnp.asarray(x, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def compute_flow(self, init=None, gt=None):
+        raise NotImplementedError
+
+    def compute_flow_base(self, uv):
+        raise NotImplementedError

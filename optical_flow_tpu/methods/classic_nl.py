@@ -1,0 +1,240 @@
+"""Classic+NL optical flow: robust IRLS + non-local weighted-median term.
+
+Reference: ``methods/classic_nl.py``.  Structure follows BA, with the
+non-local step after each linear solve: occlusion detection + color-guided
+weighted median filtering applied through the duv trick
+(``classic_nl.py:260-275``).  Three pyramids (texture, original, Lab color)
+are maintained per GNC stage set (``classic_nl.py:120-136``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig, _blended_solve
+from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
+from optical_flow_tpu.ops.occlusion import detect_occlusion
+from optical_flow_tpu.ops.penalties import Robust
+from optical_flow_tpu.ops.resample import resample_flow
+from optical_flow_tpu.ops.wmedian import denoise_color_weighted_medfilt2
+
+
+@dataclasses.dataclass(frozen=True)
+class NLLevelConfig:
+    """Static per-level configuration for Classic+NL."""
+
+    irls: IRLSLevelConfig
+    area_hsz: int
+    sigma_i: float
+    full_version: bool
+    use_color: bool
+
+
+@partial(jax.jit, static_argnums=(0,))
+def classic_nl_level_step(cfg: NLLevelConfig, images, color_images, uv, alpha):
+    """One pyramid level of Classic+NL (``classic_nl.py:200-277``)."""
+    irls = cfg.irls
+    pre = precompute_warp(images, irls.interp, np.array(irls.deriv_filter), irls.blend)
+
+    def warp_iter(_, uv):
+        It, Ix, Iy = warp_deriv(pre, uv)
+        duv = jnp.zeros_like(uv)
+        for _j in range(irls.max_linear):
+            duv = _blended_solve(irls, uv, duv, It, Ix, Iy, alpha)
+            if irls.median_filter_size is not None:
+                new_uv = uv + duv
+                occ = detect_occlusion(new_uv, images)
+                filtered = denoise_color_weighted_medfilt2(
+                    new_uv,
+                    color_images if cfg.use_color else None,
+                    occ,
+                    cfg.area_hsz,
+                    irls.median_filter_size,
+                    cfg.sigma_i,
+                    cfg.full_version,
+                )
+                duv = filtered - uv
+        return uv + duv
+
+    return jax.lax.fori_loop(0, irls.max_iters, warp_iter, uv)
+
+
+class ClassicNLOpticalFlow(BAOpticalFlow):
+    """Classic+NL with generalized Charbonnier penalties and NL term."""
+
+    def __init__(self):
+        super().__init__()
+        self.lambda_ = 1.0
+        self.lambda_q = 1.0
+        self.lambda2 = 0.1
+        self.lambda3 = 1.0
+        self.solver = "backslash"
+        self.texture = False
+        self.fc = False
+        self.median_filter_size = None
+        self.interpolation_method = "bi-cubic"
+
+        self.gnc_iters = 3
+        self.alpha = 1.0
+        self.max_iters = 10
+        self.max_linear = 1
+        self.pyramid_levels = 4
+        self.pyramid_spacing = 2.0
+        self.gnc_pyramid_levels = 2
+        self.gnc_pyramid_spacing = 1.25
+
+        method = "generalized_charbonnier"
+        a = 0.45
+        sig = 1e-3
+        self.rho_spatial_u = [Robust(method, (sig, a)), Robust(method, (sig, a))]
+        self.rho_spatial_v = [Robust(method, (sig, a)), Robust(method, (sig, a))]
+        self.rho_data = Robust(method, (sig, a))
+
+        # non-local / segmentation settings (classic_nl.py:72-87)
+        self.seg = None
+        self.mfT = 15
+        self.imfsz = [7, 7]
+        self.filter_weight = None
+        self.alp = 0.95
+        self.hybrid = False
+        self.area_hsz = 10
+        self.affine_hsz = 4
+        self.sigma_i = 7
+        self.color_images = None
+        self.auto_level = True
+        self.input_seg = None
+        self.input_occ = None
+        self.fullVersion = False
+
+    # ------------------------------------------------------------------
+    def _quadratic_relaxation(self):
+        """Classic+NL reuses each penalty's own sigma (``classic_nl.py:216-226``)."""
+        qsu = tuple(Robust("quadratic", (r.param[0],)) for r in self.rho_spatial_u)
+        qsv = tuple(Robust("quadratic", (r.param[0],)) for r in self.rho_spatial_v)
+        qd = Robust("quadratic", (self.rho_data.param[0],))
+        return qsu, qsv, qd
+
+    def _nl_cfg(self, use_color: bool, max_linear=None) -> NLLevelConfig:
+        return NLLevelConfig(
+            irls=self._level_cfg(max_linear=max_linear),
+            area_hsz=int(self.area_hsz),
+            sigma_i=float(self.sigma_i),
+            full_version=bool(self.fullVersion),
+            use_color=use_color,
+        )
+
+    def _color_ok(self, color_level) -> bool:
+        """Static decision mirroring the reference's size-based fallback
+        (``weighted_median.py:42-47``)."""
+        if color_level is None:
+            return False
+        return int(np.prod(color_level.shape[:2])) >= 1  # real image present
+
+    # ------------------------------------------------------------------
+    def compute_flow(self, init=None, gt=None):
+        """GNC + coarse-to-fine with triple pyramids (``classic_nl.py:89-198``)."""
+        images = self._as_dtype(self.images)
+        sz = images.shape[:2]
+        uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
+
+        proc = self._preprocess(images)
+
+        if self.auto_level:
+            self.pyramid_levels = self._auto_pyramid_levels(proc)
+
+        color = None
+        if self.color_images is not None:
+            color = self._as_dtype(self.color_images)
+            # the (1,1,3) placeholder from the config table means "no color"
+            if int(np.prod(color.shape[:2])) < sz[0] * sz[1]:
+                color = None
+
+        pyr = self._build_pyramid(proc, self.pyramid_levels, self.pyramid_spacing)
+        org_pyr = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
+        color_pyr = (
+            self._build_pyramid(color, self.pyramid_levels, self.pyramid_spacing)
+            if color is not None
+            else [None] * self.pyramid_levels
+        )
+        gnc_pyr = self._build_pyramid(proc, self.gnc_pyramid_levels, self.gnc_pyramid_spacing)
+        org_gnc_pyr = self._build_pyramid(
+            images, self.gnc_pyramid_levels, self.gnc_pyramid_spacing
+        )
+        color_gnc_pyr = (
+            self._build_pyramid(color, self.gnc_pyramid_levels, self.gnc_pyramid_spacing)
+            if color is not None
+            else [None] * self.gnc_pyramid_levels
+        )
+
+        start_time = time.time()
+        alpha = float(self.alpha)
+
+        for ignc in range(self.gnc_iters):
+            if self.display:
+                print(f"GNC stage: {ignc + 1}")
+            if ignc == 0:
+                levels = self.pyramid_levels
+                cur, cur_org, cur_color = pyr, org_pyr, color_pyr
+            else:
+                levels = self.gnc_pyramid_levels
+                cur, cur_org, cur_color = gnc_pyr, org_gnc_pyr, color_gnc_pyr
+
+            cfg = self._nl_cfg(
+                use_color=color is not None,
+                max_linear=1 if ignc == 0 else None,
+            )
+            for level in range(levels - 1, -1, -1):
+                if self.display:
+                    print(f"  Pyramid level: {level + 1}")
+                nsz = cur[level].shape[:2]
+                uv = resample_flow(uv, nsz)
+                # the adaptive affine window (classic_nl.py:176) only matters
+                # for the (unimplemented-in-reference) full version
+                self.affine_hsz = min(4, max(2, int(np.ceil(min(nsz) / 75))))
+                color_level = cur_color[level]
+                if color_level is None:
+                    color_level = jnp.zeros((1, 1), dtype=self.dtype)
+                uv = classic_nl_level_step(
+                    cfg, cur[level], color_level, uv, jnp.asarray(alpha, self.dtype)
+                )
+
+            if self.gnc_iters > 1:
+                new_alpha = 1.0 - (ignc + 1) / (self.gnc_iters - 1)
+                alpha = max(0.0, min(alpha, new_alpha))
+
+            if self.display:
+                elapsed = (time.time() - start_time) / 60
+                msg = f"GNC stage {ignc + 1} finished, {elapsed:.2f} minutes passed"
+                if gt is not None:
+                    from optical_flow_tpu.evaluation.metrics import flow_angular_error
+
+                    gt_arr = np.asarray(gt)
+                    uv_arr = np.asarray(uv)
+                    aae, stdae, aepe = flow_angular_error(
+                        gt_arr[:, :, 0], gt_arr[:, :, 1], uv_arr[:, :, 0], uv_arr[:, :, 1], 0
+                    )
+                    msg += f"  AAE {aae:.3f} STD {stdae:.3f} EPE {aepe:.3f}"
+                print(msg)
+
+        return uv
+
+    def compute_flow_base(self, uv):
+        images = self._as_dtype(self.images)
+        use_color = self.color_images is not None and int(
+            np.prod(np.asarray(self.color_images).shape[:2])
+        ) >= images.shape[0] * images.shape[1]
+        color = (
+            self._as_dtype(self.color_images)
+            if use_color
+            else jnp.zeros((1, 1), dtype=self.dtype)
+        )
+        cfg = self._nl_cfg(use_color=use_color)
+        return classic_nl_level_step(
+            cfg, images, color, self._as_dtype(uv), jnp.asarray(self.alpha, self.dtype)
+        )

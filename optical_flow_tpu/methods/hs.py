@@ -1,0 +1,161 @@
+"""Horn–Schunck optical flow (quadratic penalties, Laplacian spatial term).
+
+Reference: ``methods/hs.py``.  Each pyramid level runs as one jitted
+program: a ``lax.while_loop`` over warping iterations with the reference's
+early stop (||x|| < 1e-3, which discards the final small update —
+``hs.py:118-140``), matrix-free linear solves, and an in-loop 5x5 median
+filter.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.methods.base import BaseOpticalFlow
+from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
+from optical_flow_tpu.ops.filters import median_filter2d
+from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
+from optical_flow_tpu.ops.resample import resample_flow
+from optical_flow_tpu.ops.stencil import build_hs_system
+from optical_flow_tpu.solvers.cg import solve_flow_system
+from optical_flow_tpu.utils.compat import scale_image
+
+
+@dataclasses.dataclass(frozen=True)
+class HSLevelConfig:
+    lambda_: float
+    sigmaD2: float
+    sigmaS2: float
+    max_warping_iters: int
+    median_filter_size: Optional[Tuple[int, int]]
+    mf_iter: int
+    limit_update: bool
+    interp: str
+    deriv_filter: Tuple[float, ...]
+    blend: float
+    solver: Tuple
+
+
+@partial(jax.jit, static_argnums=(0,))
+def hs_level_step(cfg: HSLevelConfig, images, uv):
+    """One pyramid level of Horn–Schunck (``hs.py:109-142``)."""
+    pre = precompute_warp(
+        images, cfg.interp, np.array(cfg.deriv_filter), cfg.blend
+    )
+    solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter = cfg.solver
+
+    def median_pass(uv):
+        if cfg.median_filter_size is None:
+            return uv
+        for _ in range(cfg.mf_iter):
+            uv = jnp.stack(
+                [
+                    median_filter2d(uv[:, :, 0], cfg.median_filter_size),
+                    median_filter2d(uv[:, :, 1], cfg.median_filter_size),
+                ],
+                axis=-1,
+            )
+        return uv
+
+    def cond(state):
+        k, _, cont = state
+        return jnp.logical_and(k < cfg.max_warping_iters, cont)
+
+    def body(state):
+        k, uv, _ = state
+        It, Ix, Iy = warp_deriv(pre, uv)
+        sys = build_hs_system(uv, It, Ix, Iy, cfg.lambda_, cfg.sigmaD2, cfg.sigmaS2)
+        x = solve_flow_system(
+            sys, solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter
+        )
+        # early stop discards the sub-threshold update (hs.py:127)
+        cont = jnp.linalg.norm(x.ravel()) >= 1e-3
+        if cfg.limit_update:
+            x = jnp.clip(x, -1.0, 1.0)
+        new_uv = median_pass(uv + x)
+        uv = jnp.where(cont, new_uv, uv)
+        return (k + 1, uv, cont)
+
+    _, uv, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), uv, jnp.asarray(True)))
+    return uv
+
+
+class HSOpticalFlow(BaseOpticalFlow):
+    """Horn–Schunck with quadratic penalty and Laplacian spatial term."""
+
+    def __init__(self):
+        super().__init__()
+        self.lambda_ = 80
+        self.lambda_q = 80
+        self.gnc_iters = 1
+        self.pyramid_levels = 4
+        self.pyramid_spacing = 2.0
+        self.max_warping_iters = 10
+        self.solver = "backslash"
+        self.interpolation_method = "cubic"
+        self.texture = False
+        self.limit_update = True
+        self.display = False
+        self.sigmaD2 = 1.0
+        self.sigmaS2 = 1.0
+        self.mf_iter = 1
+
+    def _level_cfg(self) -> HSLevelConfig:
+        mfs = self.median_filter_size
+        if mfs is not None:
+            mfs = (int(mfs[0]), int(mfs[1])) if hasattr(mfs, "__len__") else (int(mfs), int(mfs))
+        return HSLevelConfig(
+            lambda_=float(self.lambda_),
+            sigmaD2=float(self.sigmaD2),
+            sigmaS2=float(self.sigmaS2),
+            max_warping_iters=int(self.max_warping_iters),
+            median_filter_size=mfs,
+            mf_iter=int(self.mf_iter),
+            limit_update=bool(self.limit_update),
+            interp=str(self.interpolation_method),
+            deriv_filter=tuple(float(v) for v in np.asarray(self.deriv_filter).ravel()),
+            blend=float(self.blend),
+            solver=self._solver_cfg(),
+        )
+
+    def compute_flow(self, init=None, gt=None):
+        """Coarse-to-fine Horn–Schunck (``hs.py:49-99``)."""
+        images = self._as_dtype(self.images)
+        sz = images.shape[:2]
+        uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
+
+        if self.texture:
+            images = structure_texture_decomposition_rof(images)
+        else:
+            images = scale_image(images, 0, 255)
+
+        self.pyramid_levels = self._auto_pyramid_levels(images)
+        pyramid = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
+
+        cfg = self._level_cfg()
+        for level in range(self.pyramid_levels - 1, -1, -1):
+            if self.display:
+                print(f"Pyramid level: {level + 1}")
+            nsz = pyramid[level].shape[:2]
+            uv = resample_flow(uv, nsz)
+            uv = hs_level_step(cfg, pyramid[level], uv)
+
+        if self.median_filter_size is not None:
+            uv = jnp.stack(
+                [
+                    median_filter2d(uv[:, :, 0], self.median_filter_size),
+                    median_filter2d(uv[:, :, 1], self.median_filter_size),
+                ],
+                axis=-1,
+            )
+        return uv
+
+    def compute_flow_base(self, uv):
+        """Single-level solve on ``self.images`` (reference ``hs.py:109``)."""
+        images = self._as_dtype(self.images)
+        return hs_level_step(self._level_cfg(), images, self._as_dtype(uv))

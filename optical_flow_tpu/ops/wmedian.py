@@ -1,0 +1,121 @@
+"""Color-guided weighted median filtering — the non-local term.
+
+Reference: ``utils/weighted_median.py`` — an O(H·W·p²·log p) per-pixel
+Python loop.  Here the whole filter is one data-parallel program:
+
+1. build the (H, W, P) patch stacks (P = (2·hsz+1)²) by shifting the
+   reflect-padded fields — a static unrolled gather, no bounds checks;
+2. compute color-affinity × occlusion weights elementwise;
+3. per-pixel weighted median via a key-value ``lax.sort`` along the patch
+   axis (value sorted, weight carried), inclusive cumsum, and a
+   first-crossing select at half the total weight — precisely the
+   sort+cumsum+searchsorted semantics of ``weighted_median_1d``
+   (``weighted_median.py:5-21``).
+
+For large images the rows are processed in static chunks to bound the
+(H, W, P) intermediate footprint.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.ops.filters import median_filter2d
+
+
+def _patch_stack(padded, H, W, k):
+    """(H+2h, W+2h) padded -> (H, W, k*k) shifted views."""
+    views = [
+        padded[dy : dy + H, dx : dx + W] for dy in range(k) for dx in range(k)
+    ]
+    return jnp.stack(views, axis=-1)
+
+
+def _weighted_median_lastaxis(values, weights):
+    """Weighted median along the last axis (first index where cumw >= total/2)."""
+    v_sorted, w_sorted = jax.lax.sort((values, weights), dimension=-1, num_keys=1)
+    cumw = jnp.cumsum(w_sorted, axis=-1)
+    total = cumw[..., -1:]
+    # searchsorted(cumw, total/2, side='left'): first i with cumw[i] >= total/2
+    idx = jnp.argmax(cumw >= total / 2.0, axis=-1)
+    return jnp.take_along_axis(v_sorted, idx[..., None], axis=-1)[..., 0]
+
+
+def weighted_median_1d(w, u):
+    """Reference-compatible 1-D helper (``weighted_median.py:5-21``)."""
+    return _weighted_median_lastaxis(jnp.asarray(u), jnp.asarray(w))
+
+
+def denoise_color_weighted_medfilt2(
+    uv,
+    color_images,
+    occ,
+    area_hsz: int,
+    mfsz,
+    sigma_i: float,
+    full_version: bool = False,
+    row_chunk: int = 0,
+):
+    """Weighted median filter of the flow field guided by color affinity.
+
+    ``color_images`` may be None (or statically too small, e.g. the
+    (1, 1, 3) placeholder from the config table) — then a plain median
+    filter of size ``mfsz`` is applied, matching the reference fallback
+    (``weighted_median.py:42-47``).  ``full_version`` is accepted for API
+    parity; like the reference implementation, it does not change the
+    computation.
+    """
+    H, W = uv.shape[:2]
+    if color_images is None or int(np.prod(color_images.shape[:2])) < H * W:
+        sz = int(mfsz[0]) if hasattr(mfsz, "__len__") else int(mfsz)
+        return jnp.stack(
+            [
+                median_filter2d(uv[:, :, 0], sz, "reflect"),
+                median_filter2d(uv[:, :, 1], sz, "reflect"),
+            ],
+            axis=-1,
+        )
+
+    if color_images.shape[0] != H or color_images.shape[1] != W:
+        from optical_flow_tpu.ops.interp import matlab_imresize_bilinear
+
+        color_images = matlab_imresize_bilinear(color_images, (H, W))
+    if color_images.ndim == 2:
+        color_images = color_images[:, :, None]
+
+    hsz = int(area_hsz)
+    k = 2 * hsz + 1
+    C = color_images.shape[2]
+    inv_2sigma2 = 1.0 / (2.0 * sigma_i**2)
+
+    u_pad = jnp.pad(uv[:, :, 0], hsz, mode="symmetric")
+    v_pad = jnp.pad(uv[:, :, 1], hsz, mode="symmetric")
+    occ_pad = jnp.pad(occ, hsz, mode="symmetric")
+    color_pad = jnp.pad(color_images, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="symmetric")
+
+    if row_chunk <= 0:
+        # bound the (rows, W, k^2) footprint to ~256 MB of f32
+        budget = 64 * 1024 * 1024
+        row_chunk = max(1, min(H, budget // max(1, W * k * k)))
+
+    out_u = []
+    out_v = []
+    for r0 in range(0, H, row_chunk):
+        r1 = min(r0 + row_chunk, H)
+        rows = r1 - r0
+        up = _patch_stack(u_pad[r0 : r1 + 2 * hsz], rows, W, k)
+        vp = _patch_stack(v_pad[r0 : r1 + 2 * hsz], rows, W, k)
+        op = _patch_stack(occ_pad[r0 : r1 + 2 * hsz], rows, W, k)
+        cdiff = jnp.zeros_like(op)
+        for c in range(C):
+            cp = _patch_stack(color_pad[r0 : r1 + 2 * hsz, :, c], rows, W, k)
+            center = color_images[r0:r1, :, c][:, :, None]
+            cdiff = cdiff + (cp - center) ** 2
+        w = jnp.maximum(jnp.exp(-cdiff * inv_2sigma2) * op, 1e-10)
+        out_u.append(_weighted_median_lastaxis(up, w))
+        out_v.append(_weighted_median_lastaxis(vp, w))
+
+    u_out = jnp.concatenate(out_u, axis=0) if len(out_u) > 1 else out_u[0]
+    v_out = jnp.concatenate(out_v, axis=0) if len(out_v) > 1 else out_v[0]
+    return jnp.stack([u_out, v_out], axis=-1)

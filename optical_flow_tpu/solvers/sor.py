@@ -1,0 +1,69 @@
+"""Red-black SOR for the coupled flow system.
+
+The reference's ``'sor'`` solver (``base.py:138-172``) is a lexicographic
+Gauss–Seidel SOR loop in Python — inherently sequential.  The TPU-native
+equivalent is red-black ordering: the spatial graph is bipartite under
+checkerboard coloring, so each half-sweep updates an independent set of
+pixels in one fused vector pass.  Iterates differ from lexicographic order
+but converge to the same fixed point (the solve tolerance in the reference
+is a loose 1e-2).
+
+Within a pixel the u-v coupling is diagonal (a12), handled Gauss-Seidel
+style: u is updated first, then v sees the new u — mirroring the
+reference's u-block-then-v-block sweep ordering.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from optical_flow_tpu.ops.stencil import (
+    FlowSystem,
+    weighted_laplacian_apply,
+    weighted_laplacian_diag,
+)
+
+
+def sor_solve(sys: FlowSystem, omega: float = 1.9, max_iters: int = 200, tol: float = 1e-2):
+    """Red-black SOR returning the (H, W, 2) solution."""
+    H, W = sys.a11.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    red = ((ii + jj) % 2) == 0
+
+    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    du_inv = jnp.where(jnp.abs(du) > 1e-15, 1.0 / du, 0.0)
+    dv_inv = jnp.where(jnp.abs(dv) > 1e-15, 1.0 / dv, 0.0)
+
+    def half_sweep(u, v, color):
+        # residual-form update: x_i <- (1-w) x_i + w (b_i - sum_{j!=i} A_ij x_j)/A_ii
+        Lu = weighted_laplacian_apply(sys.wu_h, sys.wu_v, u)
+        off_u = (Lu - du * u) + sys.a12 * v
+        u_new = (1 - omega) * u + omega * (sys.b_u - off_u) * du_inv
+        u = jnp.where(color & (jnp.abs(du) > 1e-15), u_new, u)
+
+        Lv = weighted_laplacian_apply(sys.wv_h, sys.wv_v, v)
+        off_v = (Lv - dv * v) + sys.a12 * u
+        v_new = (1 - omega) * v + omega * (sys.b_v - off_v) * dv_inv
+        v = jnp.where(color & (jnp.abs(dv) > 1e-15), v_new, v)
+        return u, v
+
+    def body(state):
+        k, u, v, _ = state
+        u0, v0 = u, v
+        u, v = half_sweep(u, v, red)
+        u, v = half_sweep(u, v, ~red)
+        delta = jnp.sqrt(jnp.sum((u - u0) ** 2 + (v - v0) ** 2))
+        norm = jnp.sqrt(jnp.sum(u**2 + v**2))
+        done = delta < tol * norm
+        return (k + 1, u, v, done)
+
+    def cond(state):
+        k, _, _, done = state
+        return jnp.logical_and(k < max_iters, jnp.logical_not(done))
+
+    u0 = jnp.zeros_like(sys.b_u)
+    v0 = jnp.zeros_like(sys.b_v)
+    _, u, v, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), u0, v0, False))
+    return jnp.stack([u, v], axis=-1)
