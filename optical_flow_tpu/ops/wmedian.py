@@ -89,10 +89,13 @@ def denoise_color_weighted_medfilt2(
     C = color_images.shape[2]
     inv_2sigma2 = 1.0 / (2.0 * sigma_i**2)
 
-    u_pad = jnp.pad(uv[:, :, 0], hsz, mode="symmetric")
-    v_pad = jnp.pad(uv[:, :, 1], hsz, mode="symmetric")
-    occ_pad = jnp.pad(occ, hsz, mode="symmetric")
-    color_pad = jnp.pad(color_images, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="symmetric")
+    # numpy-'reflect' (mirror, no edge duplication) — the reference pads with
+    # np.pad(..., mode='reflect') here (weighted_median.py:78-84), which is
+    # NOT the scipy.ndimage 'reflect' used by the plain median filters.
+    u_pad = jnp.pad(uv[:, :, 0], hsz, mode="reflect")
+    v_pad = jnp.pad(uv[:, :, 1], hsz, mode="reflect")
+    occ_pad = jnp.pad(occ, hsz, mode="reflect")
+    color_pad = jnp.pad(color_images, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="reflect")
 
     if row_chunk <= 0:
         # bound the (rows, W, k^2) footprint to ~256 MB of f32

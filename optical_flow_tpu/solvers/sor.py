@@ -31,20 +31,24 @@ def sor_solve(sys: FlowSystem, omega: float = 1.9, max_iters: int = 200, tol: fl
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     red = ((ii + jj) % 2) == 0
 
-    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
-    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    lap_du = weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+    lap_dv = weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    du = sys.a11 + lap_du
+    dv = sys.a22 + lap_dv
     du_inv = jnp.where(jnp.abs(du) > 1e-15, 1.0 / du, 0.0)
     dv_inv = jnp.where(jnp.abs(dv) > 1e-15, 1.0 / dv, 0.0)
 
     def half_sweep(u, v, color):
-        # residual-form update: x_i <- (1-w) x_i + w (b_i - sum_{j!=i} A_ij x_j)/A_ii
+        # x_i <- (1-w) x_i + w (b_i - sum_{j!=i} A_ij x_j) / A_ii  where the
+        # off-diagonal u-row sum is the Laplacian minus its own diagonal plus
+        # the in-pixel coupling a12 * v
         Lu = weighted_laplacian_apply(sys.wu_h, sys.wu_v, u)
-        off_u = (Lu - du * u) + sys.a12 * v
+        off_u = (Lu - lap_du * u) + sys.a12 * v
         u_new = (1 - omega) * u + omega * (sys.b_u - off_u) * du_inv
         u = jnp.where(color & (jnp.abs(du) > 1e-15), u_new, u)
 
         Lv = weighted_laplacian_apply(sys.wv_h, sys.wv_v, v)
-        off_v = (Lv - dv * v) + sys.a12 * u
+        off_v = (Lv - lap_dv * v) + sys.a12 * u
         v_new = (1 - omega) * v + omega * (sys.b_v - off_v) * dv_inv
         v = jnp.where(color & (jnp.abs(dv) > 1e-15), v_new, v)
         return u, v

@@ -1,0 +1,129 @@
+"""Method factory configuration + BA / Classic+NL / Alt-BA integration."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optical_flow_tpu.config import load_of_method
+from optical_flow_tpu.interface import estimate_flow
+from optical_flow_tpu.methods.alt_ba import AltBAOpticalFlow
+from optical_flow_tpu.methods.ba import BAOpticalFlow
+from optical_flow_tpu.methods.classic_nl import ClassicNLOpticalFlow
+from optical_flow_tpu.methods.hs import HSOpticalFlow
+
+
+def test_factory_configs():
+    """Preset table parity with reference methods/config.py:32-173."""
+    ope = load_of_method("classic+nl")
+    assert isinstance(ope, ClassicNLOpticalFlow)
+    assert ope.texture and ope.lambda_ == 3 and ope.area_hsz == 7 and ope.sigma_i == 7
+    assert ope.median_filter_size == [5, 5]
+    assert ope.color_images.shape == (1, 1, 3)
+
+    fast = load_of_method("classic+nl-fast")
+    assert fast.max_iters == 3 and fast.gnc_iters == 2
+
+    full = load_of_method("classic+nl-full")
+    assert full.fullVersion
+
+    hs = load_of_method("hs")
+    assert isinstance(hs, HSOpticalFlow) and hs.texture and hs.lambda_ == 40
+
+    hsb = load_of_method("hs-brightness")
+    assert hsb.lambda_ == 10 and not hsb.texture
+
+    ba = load_of_method("ba")
+    assert isinstance(ba, BAOpticalFlow) and ba.texture
+    assert ba.lambda_ == 0.06 and ba.rho_data.name == "lorentzian"
+    assert ba.rho_data.param == (1.5,)
+
+    bab = load_of_method("ba-brightness")
+    assert bab.lambda_ == 0.045 and bab.rho_data.param == (3.5,)
+
+    cc = load_of_method("classic-c")
+    assert cc.texture and cc.lambda_ == 5 and cc.rho_data.name == "charbonnier"
+
+    ccb = load_of_method("classic-c-brightness")
+    assert not ccb.texture and ccb.lambda_ == 3
+
+    cpp = load_of_method("classic++")
+    assert cpp.interpolation_method == "bi-cubic"
+    assert cpp.rho_data.name == "generalized_charbonnier"
+    assert cpp.rho_data.param == (1e-3, 0.45)
+
+    cca = load_of_method("classic-c-a")
+    assert isinstance(cca, AltBAOpticalFlow)
+    assert cca.lambda2 == 1e2 and cca.itersLO == 5 and cca.lambda_ == 5
+
+    with pytest.raises(ValueError):
+        load_of_method("nonexistent")
+
+
+def test_parse_input_parameter():
+    ope = load_of_method("hs-brightness")
+    ope.parse_input_parameter({"lambda": 55, "max_warping_iters": 3, "bogus_key": 1})
+    assert ope.lambda_ == 55 and ope.max_warping_iters == 3
+    assert not hasattr(ope, "bogus_key")
+    ope.parse_input_parameter(["lambda", 7, "solver", "pcg"])
+    assert ope.lambda_ == 7 and ope.solver == "pcg"
+
+
+def test_ba_recovers_shift(synthetic_pair):
+    im1, im2 = synthetic_pair
+    ope = load_of_method("classic-c-brightness")
+    ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
+    uv = np.asarray(ope.compute_flow())
+    assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.05)
+
+
+def test_ba_zero_on_identical(rng):
+    im = rng.uniform(0, 255, (40, 40))
+    ope = load_of_method("ba-brightness")
+    ope.images = jnp.stack([jnp.asarray(im), jnp.asarray(im)], 2)
+    uv = np.asarray(ope.compute_flow())
+    assert np.abs(uv).max() < 0.1
+
+
+def test_estimate_flow_grayscale(synthetic_pair):
+    im1, im2 = synthetic_pair
+    uv = np.asarray(estimate_flow(im1, im2, "classic-c-brightness"))
+    assert uv.shape == (64, 64, 2)
+    assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.05)
+
+
+def test_estimate_flow_color_classic_nl(rng):
+    im1 = rng.uniform(0, 255, (48, 48, 3))
+    im2 = np.roll(im1, 1, axis=1)
+    uv = np.asarray(
+        estimate_flow(im1, im2, "classic+nl-fast", params={"display": False})
+    )
+    assert uv.shape == (48, 48, 2)
+    assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.1)
+
+
+def test_classic_nl_gray_fallback(synthetic_pair):
+    """Grayscale input: the Lab guide degrades to the grayscale image."""
+    im1, im2 = synthetic_pair
+    uv = np.asarray(
+        estimate_flow(im1, im2, "classic+nl-fast", params={"display": False})
+    )
+    assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.1)
+
+
+def test_alt_ba_runs(synthetic_pair):
+    im1, im2 = synthetic_pair
+    ope = load_of_method("classic-c-a")
+    ope.max_iters = 4
+    ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
+    uv = np.asarray(ope.compute_flow())
+    assert uv.shape == (64, 64, 2)
+    assert np.isfinite(uv).all()
+
+
+def test_solver_variants(synthetic_pair):
+    im1, im2 = synthetic_pair
+    for solver in ("pcg", "sor"):
+        ope = load_of_method("hs-brightness")
+        ope.solver = solver
+        ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
+        uv = np.asarray(ope.compute_flow())
+        assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.1), solver

@@ -1,0 +1,137 @@
+"""Matrix-free FlowSystem vs dense materialization vs the reference sparse A.
+
+The central structural claim of this framework: the reference's sparse
+system  bmat([[duu, dduv], [dduv, dvv]])  (with FᵀWF spatial terms) equals
+the coupled 5-point stencil in ops/stencil.py.  These tests verify it
+numerically against the reference ``flow_operator`` implementations.
+"""
+import numpy as np
+import pytest
+
+from optical_flow_tpu.ops.derivatives import partial_deriv
+from optical_flow_tpu.ops.penalties import Robust
+from optical_flow_tpu.ops.stencil import (
+    build_hs_system,
+    build_irls_system,
+    system_apply,
+    system_diag,
+    system_rhs,
+)
+from optical_flow_tpu.solvers.direct import dense_matrix, dense_solve
+from optical_flow_tpu.solvers.cg import solve_flow_system
+
+
+def _rand_system(rng, h=7, w=9):
+    images = np.stack([rng.uniform(0, 255, (h, w)), rng.uniform(0, 255, (h, w))], 2)
+    uv = 0.3 * rng.standard_normal((h, w, 2))
+    duv = 0.1 * rng.standard_normal((h, w, 2))
+    It, Ix, Iy = partial_deriv(images, uv, "cubic")
+    return images, uv, duv, np.asarray(It), np.asarray(Ix), np.asarray(Iy)
+
+
+def test_apply_matches_dense(rng):
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    A = dense_matrix(sys)
+    # symmetric
+    np.testing.assert_allclose(A, A.T, atol=1e-12)
+    x = rng.standard_normal(uv.shape)
+    H, W = uv.shape[:2]
+    x_flat = np.concatenate([x[:, :, 0].ravel(order="F"), x[:, :, 1].ravel(order="F")])
+    ref = A @ x_flat
+    mine = np.asarray(system_apply(sys, x))
+    mine_flat = np.concatenate(
+        [mine[:, :, 0].ravel(order="F"), mine[:, :, 1].ravel(order="F")]
+    )
+    np.testing.assert_allclose(mine_flat, ref, rtol=1e-10, atol=1e-10)
+    # diagonal extraction
+    d = np.asarray(system_diag(sys))
+    d_flat = np.concatenate([d[:, :, 0].ravel(order="F"), d[:, :, 1].ravel(order="F")])
+    np.testing.assert_allclose(d_flat, np.diag(A), rtol=1e-10)
+
+
+def _ref_irls_operator(reference_pkg, uv, duv, It, Ix, Iy, rho_name, rho_params, lam):
+    """Build the reference's sparse A, b via a configured BA object."""
+    from optical_flow.methods.ba import BAOpticalFlow
+    from optical_flow.robust.robust_function import RobustFunction
+
+    ope = BAOpticalFlow()
+    ope.lambda_ = lam
+    rf = lambda: RobustFunction(rho_name, *rho_params)
+    ope.rho_spatial_u = [rf(), rf()]
+    ope.rho_spatial_v = [rf(), rf()]
+    ope.rho_data = rf()
+    A, b, _, _ = ope.flow_operator(uv, duv, It, Ix, Iy)
+    return A.toarray(), np.asarray(b)
+
+
+@pytest.mark.parametrize(
+    "rho_name,rho_params,lam",
+    [
+        ("quadratic", (1.0,), 3.0),
+        ("lorentzian", (0.03,), 0.06),
+        ("charbonnier", (1e-3,), 5.0),
+        ("generalized_charbonnier", (1e-3, 0.45), 3.0),
+    ],
+)
+def test_irls_system_matches_reference_sparse(reference_pkg, rng, rho_name, rho_params, lam):
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    A_ref, b_ref = _ref_irls_operator(
+        reference_pkg, uv, duv, It, Ix, Iy, rho_name, rho_params, lam
+    )
+    rho = Robust(rho_name, rho_params)
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, lam)
+    A_mine = dense_matrix(sys)
+    np.testing.assert_allclose(A_mine, A_ref, rtol=1e-9, atol=1e-9)
+    b_mine = np.asarray(system_rhs(sys))
+    b_flat = np.concatenate(
+        [b_mine[:, :, 0].ravel(order="F"), b_mine[:, :, 1].ravel(order="F")]
+    )
+    np.testing.assert_allclose(b_flat, b_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_hs_system_matches_reference_sparse(reference_pkg, rng):
+    from optical_flow.methods.hs import HSOpticalFlow
+
+    h, w = 7, 9
+    images = np.stack([rng.uniform(0, 255, (h, w)), rng.uniform(0, 255, (h, w))], 2)
+    uv = 0.3 * rng.standard_normal((h, w, 2))
+
+    ope = HSOpticalFlow()
+    ope.images = images
+    ope.lambda_ = 10.0
+    A_ref, b_ref, _, _ = ope.flow_operator(uv)
+    A_ref = A_ref.toarray()
+
+    It, Ix, Iy = partial_deriv(images, uv, "cubic")
+    sys = build_hs_system(uv, np.asarray(It), np.asarray(Ix), np.asarray(Iy), 10.0, 1.0, 1.0)
+    # reference A = D - lam*M  where M = -L  =>  ours should equal -A_ref?  No:
+    # ours IS  D + lam*L  which equals the reference matrix directly.
+    A_mine = dense_matrix(sys)
+    np.testing.assert_allclose(A_mine, A_ref, rtol=1e-9, atol=1e-9)
+    b_mine = np.asarray(system_rhs(sys))
+    b_flat = np.concatenate(
+        [b_mine[:, :, 0].ravel(order="F"), b_mine[:, :, 1].ravel(order="F")]
+    )
+    np.testing.assert_allclose(b_flat, np.asarray(b_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_pcg_matches_dense_solve(rng):
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    x_exact = dense_solve(sys)
+    x_pcg = np.asarray(solve_flow_system(sys, "backslash", 1e-3, 200, 1e-12, 4000))
+    np.testing.assert_allclose(x_pcg, x_exact, rtol=1e-6, atol=1e-8)
+
+
+def test_sor_converges(rng):
+    from optical_flow_tpu.solvers.sor import sor_solve
+
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("quadratic", (1.0,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    x_exact = dense_solve(sys)
+    x_sor = np.asarray(sor_solve(sys, omega=1.9, max_iters=2000, tol=1e-10))
+    np.testing.assert_allclose(x_sor, x_exact, rtol=1e-4, atol=1e-6)
