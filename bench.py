@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: classic+nl-fast on RubberWhale (584x388), real TPU.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The baseline is the NumPy reference's wall-clock for the same computation
+on this machine's CPU (measured once; see REF_SECONDS below), so
+``vs_baseline`` is the per-chip speedup factor.  Accuracy (AAE / AEPE vs
+Middlebury ground truth) is reported alongside to show the speed is not
+bought with accuracy loss (reference: AAE 2.458, AEPE 0.080).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+# Reference (jordanshivers/optical-flow-python) classic+nl-fast on
+# RubberWhale, measured on this machine's CPU: see .ref_baseline_timing.txt
+REF_SECONDS = 270.8  # measured on this machine, see .ref_baseline_timing.txt
+REF_AAE = 2.463  # reference run on this machine (README.md:289 says 2.463)
+REF_AEPE = 0.080
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from optical_flow_tpu.evaluation.metrics import flow_angular_error
+    from optical_flow_tpu.interface import estimate_flow
+    from optical_flow_tpu.io.flo import read_flow_file
+
+    ref_seconds = REF_SECONDS
+    timing_file = os.path.join(REPO, ".ref_baseline_timing.txt")
+    if os.path.exists(timing_file):
+        for line in open(timing_file):
+            if line.startswith("REF_SECONDS"):
+                ref_seconds = float(line.split()[1])
+
+    log("devices:", jax.devices())
+    im1, im2, tu, tv = read_flow_file("RubberWhale", 10)
+    params = {"display": False}
+
+    # warmup: compile every level program
+    t0 = time.time()
+    uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
+    warm = time.time() - t0
+    log(f"warmup (incl. compile): {warm:.1f}s")
+
+    best = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"run {i}: {dt:.2f}s")
+
+    aae, _, aepe = flow_angular_error(tu, tv, uv[:, :, 0], uv[:, :, 1])
+    fps = 1.0 / best
+    ref_fps = 1.0 / ref_seconds
+
+    print(
+        json.dumps(
+            {
+                "metric": "classic+nl-fast frames/s per chip @584x388 RubberWhale",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / ref_fps, 2),
+                "seconds_per_frame": round(best, 3),
+                "aae_deg": round(float(aae), 3),
+                "aepe_px": round(float(aepe), 4),
+                "ref_seconds_per_frame": round(ref_seconds, 1),
+                "ref_aae_deg": REF_AAE,
+                "ref_aepe_px": REF_AEPE,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

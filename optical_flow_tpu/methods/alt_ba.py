@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig
+from optical_flow_tpu.methods.base import jit_scale255
 from optical_flow_tpu.ops.denoise import denoise_LO
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.penalties import Robust
@@ -165,7 +166,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
         if self.texture:
             proc = structure_texture_decomposition_rof(images)
         else:
-            proc = scale_image(images, 0, 255)
+            proc = jit_scale255(images)
 
         self.pyramid_levels = self._auto_pyramid_levels(proc)
         pyramid = self._build_pyramid(proc, self.pyramid_levels, self.pyramid_spacing)

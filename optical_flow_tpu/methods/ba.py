@@ -18,7 +18,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optical_flow_tpu.methods.base import BaseOpticalFlow
+from optical_flow_tpu.methods.base import BaseOpticalFlow, jit_scale255
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _jit_highpass(images, alp):
+    """The 'fc' Gaussian high-pass prefilter alternative (``ba.py:77-82``)."""
+    f = fspecial_gaussian(5, 1.5)
+    hp = images - alp * correlate2d_multi(images, f, "reflect")
+    return scale_image(hp, 0, 255)
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.filters import correlate2d_multi, median_filter2d
 from optical_flow_tpu.ops.penalties import Robust
@@ -161,12 +169,10 @@ class BAOpticalFlow(BaseOpticalFlow):
     def _preprocess(self, images):
         """Texture / high-pass / rescale preprocessing (``ba.py:74-84``)."""
         if self.texture:
-            return structure_texture_decomposition_rof(images, 1.0 / 8, 100, self.alp)
+            return structure_texture_decomposition_rof(images, 1.0 / 8, 100, float(self.alp))
         if self.fc:
-            f = fspecial_gaussian(5, 1.5)
-            hp = images - self.alp * correlate2d_multi(images, f, "reflect")
-            return scale_image(hp, 0, 255)
-        return scale_image(images, 0, 255)
+            return _jit_highpass(images, float(self.alp))
+        return jit_scale255(images)
 
     # ------------------------------------------------------------------
     def compute_flow(self, init=None, gt=None):

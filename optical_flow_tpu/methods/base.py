@@ -14,12 +14,36 @@ API mirrors the reference ``methods/base.py`` (mutable attribute config +
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from optical_flow_tpu.ops.filters import median_filter2d
 from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, build_pyramid
 from optical_flow_tpu.ops.derivatives import DEFAULT_DERIV_FILTER
 from optical_flow_tpu.ops.penalties import Robust
+
+
+@jax.jit
+def jit_scale255(im):
+    """scale_image(im, 0, 255) as one device program."""
+    from optical_flow_tpu.utils.compat import scale_image
+
+    return scale_image(im, 0, 255)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def jit_median_pair(uv, size):
+    """Median-filter both flow channels in one dispatch."""
+    return jnp.stack(
+        [
+            median_filter2d(uv[:, :, 0], size, "reflect"),
+            median_filter2d(uv[:, :, 1], size, "reflect"),
+        ],
+        axis=-1,
+    )
 
 
 class BaseOpticalFlow:

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optical_flow_tpu.methods.base import BaseOpticalFlow
+from optical_flow_tpu.methods.base import BaseOpticalFlow, jit_median_pair, jit_scale255
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.filters import median_filter2d
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
@@ -132,7 +132,7 @@ class HSOpticalFlow(BaseOpticalFlow):
         if self.texture:
             images = structure_texture_decomposition_rof(images)
         else:
-            images = scale_image(images, 0, 255)
+            images = jit_scale255(images)
 
         self.pyramid_levels = self._auto_pyramid_levels(images)
         pyramid = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
@@ -146,13 +146,9 @@ class HSOpticalFlow(BaseOpticalFlow):
             uv = hs_level_step(cfg, pyramid[level], uv)
 
         if self.median_filter_size is not None:
-            uv = jnp.stack(
-                [
-                    median_filter2d(uv[:, :, 0], self.median_filter_size),
-                    median_filter2d(uv[:, :, 1], self.median_filter_size),
-                ],
-                axis=-1,
-            )
+            mfs = self.median_filter_size
+            mfs = (int(mfs[0]), int(mfs[1])) if hasattr(mfs, "__len__") else (int(mfs), int(mfs))
+            uv = jit_median_pair(uv, mfs)
         return uv
 
     def compute_flow_base(self, uv):

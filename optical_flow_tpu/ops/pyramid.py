@@ -13,9 +13,11 @@ Antialiasing=false and half-away-from-zero output-size rounding) and
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Tuple
 
 import numpy as np
+import jax
 
 from optical_flow_tpu.ops.filters import correlate2d_multi
 from optical_flow_tpu.ops.interp import matlab_imresize_bilinear
@@ -59,6 +61,25 @@ def compute_image_pyramid(img, f: np.ndarray, n_levels: int, ratio: float):
     return pyramid
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _pyramid_step(img, spacing: float, out_hw):
+    """One fused smooth+resize level, compiled per (shape, spacing)."""
+    f = pyramid_filter(spacing)
+    smoothed = correlate2d_multi(img, f, boundary="reflect")
+    return matlab_imresize_bilinear(smoothed, out_hw)
+
+
 def build_pyramid(images, levels: int, spacing: float):
-    """Reference ``BaseOpticalFlow._build_pyramid`` equivalent."""
-    return compute_image_pyramid(images, pyramid_filter(spacing), levels, 1.0 / spacing)
+    """Reference ``BaseOpticalFlow._build_pyramid`` equivalent.
+
+    Each level is one jitted program (the 25-tap Gaussian + two resize
+    matmuls fuse into a single dispatch — essential when the host↔device
+    link is high-latency).
+    """
+    shapes = pyramid_shapes(images.shape[:2], levels, 1.0 / spacing)
+    pyramid = [images]
+    current = images
+    for lvl in range(1, levels):
+        current = _pyramid_step(current, float(spacing), shapes[lvl])
+        pyramid.append(current)
+    return pyramid

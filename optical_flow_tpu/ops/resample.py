@@ -7,11 +7,15 @@ matmuls (MXU) shared across the u and v channels.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.ops.interp import matlab_resize_matrix
 
 
+@partial(jax.jit, static_argnums=(1,))
 def resample_flow(uv, target_hw):
     """Resize (H, W, 2) flow to ``target_hw`` and scale magnitudes.
 

@@ -12,6 +12,8 @@ rescaled to [0, 255].
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -51,8 +53,13 @@ def rof_structure_2d(im, theta: float = 1.0 / 8, n_iters: int = 100):
     return im + theta * _divergence(p)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def structure_texture_decomposition_rof(im, theta=1.0 / 8, n_iters=100, alp=0.95):
-    """Texture component of ``im`` ((H, W) or (H, W, C)), scaled to [0, 255]."""
+    """Texture component of ``im`` ((H, W) or (H, W, C)), scaled to [0, 255].
+
+    Jitted per shape: the full 100-iteration primal-dual loop plus the
+    global rescales run as one device program.
+    """
     im = jnp.asarray(im)
     im_norm = scale_image(im, -1, 1)
     if im_norm.ndim == 3:

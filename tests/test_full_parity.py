@@ -1,0 +1,87 @@
+"""Whole-pipeline parity vs the NumPy reference on small inputs.
+
+These run the complete coarse-to-fine / GNC pipelines in float64 with
+tight solver tolerance and compare flow fields against the reference
+(whose 'backslash' path is an exact sparse solve).  Agreement is bounded
+by solver differences only.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optical_flow_tpu.config import load_of_method
+
+
+def _pair(rng, h, w):
+    im1 = rng.uniform(0, 255, (h, w))
+    shifted = np.roll(im1, 1, axis=1)
+    im2 = 0.9 * shifted + 0.1 * rng.uniform(0, 255, (h, w))
+    return im1, im2
+
+
+def _tight(ope):
+    ope.dtype = jnp.float64
+    ope.backslash_rtol = 1e-12
+    ope.backslash_maxiter = 8000
+    return ope
+
+
+@pytest.mark.slow
+def test_ba_full_parity(reference_pkg, rng):
+    from optical_flow.methods.config import load_of_method as ref_load
+
+    im1, im2 = _pair(rng, 40, 44)
+    images = np.stack([im1, im2], 2)
+
+    ref_ope = ref_load("classic-c-brightness")
+    ref_uv = ref_ope_compute(ref_ope, images)
+
+    ope = _tight(load_of_method("classic-c-brightness"))
+    ope.images = jnp.asarray(images)
+    uv = np.asarray(ope.compute_flow())
+    np.testing.assert_allclose(uv, ref_uv, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_ba_lorentzian_gnc_full_parity(reference_pkg, rng):
+    from optical_flow.methods.config import load_of_method as ref_load
+
+    im1, im2 = _pair(rng, 40, 44)
+    images = np.stack([im1, im2], 2)
+
+    ref_ope = ref_load("ba-brightness")
+    ref_uv = ref_ope_compute(ref_ope, images)
+
+    ope = _tight(load_of_method("ba-brightness"))
+    ope.images = jnp.asarray(images)
+    uv = np.asarray(ope.compute_flow())
+    np.testing.assert_allclose(uv, ref_uv, atol=2e-2)
+
+
+@pytest.mark.slow
+def test_classic_nl_full_parity(reference_pkg, rng):
+    """Classic+NL (texture + occlusion + weighted median) end-to-end."""
+    from optical_flow.methods.config import load_of_method as ref_load
+
+    im1, im2 = _pair(rng, 40, 44)
+    images = np.stack([im1, im2], 2)
+
+    ref_ope = ref_load("classic+nl-fast")
+    ref_ope.display = False
+    ref_ope.color_images = im1.copy()
+    ref_ope.images = images
+    ref_uv = ref_ope.compute_flow(np.zeros((40, 44, 2)))
+
+    ope = _tight(load_of_method("classic+nl-fast"))
+    ope.display = False
+    ope.color_images = jnp.asarray(im1)
+    ope.images = jnp.asarray(images)
+    uv = np.asarray(ope.compute_flow())
+    np.testing.assert_allclose(uv, np.asarray(ref_uv), atol=5e-2)
+
+
+def ref_ope_compute(ref_ope, images):
+    ref_ope.display = False
+    ref_ope.images = images
+    H, W = images.shape[:2]
+    return np.asarray(ref_ope.compute_flow(np.zeros((H, W, 2))))
