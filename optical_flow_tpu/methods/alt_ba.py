@@ -100,6 +100,53 @@ def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, qterm, re
     return uv, uvhat
 
 
+@dataclasses.dataclass(frozen=True)
+class AltBAFlowPlan:
+    texture: bool
+    levels: int
+    spacing: float
+    gnc_levels: int
+    gnc_spacing: float
+    shapes: Tuple[Tuple[int, int], ...]
+    gnc_shapes: Tuple[Tuple[int, int], ...]
+    stages: Tuple[Tuple[AltBALevelConfig, float, bool], ...]  # (cfg, alpha, replacement)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def alt_ba_flow_program(plan: AltBAFlowPlan, images, uv, uvhat):
+    """Whole GNC + coarse-to-fine Alt-BA flow as one device program."""
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    if plan.texture:
+        proc = structure_texture_decomposition_rof(images)
+    else:
+        proc = scale_image(images, 0, 255)
+    pyramid = build_pyramid(proc, plan.levels, plan.spacing)
+    gnc_pyramid = build_pyramid(proc, plan.gnc_levels, plan.gnc_spacing)
+
+    for stage_idx, (cfg, alpha, replacement) in enumerate(plan.stages):
+        if stage_idx == 0:
+            levels, cur, shapes = plan.levels, pyramid, plan.shapes
+        else:
+            levels, cur, shapes = plan.gnc_levels, gnc_pyramid, plan.gnc_shapes
+        for level in range(levels - 1, -1, -1):
+            qterm = not (level == levels - 1 and stage_idx == 0)
+            uv = resample_flow(uv, shapes[level])
+            uvhat = resample_flow(uvhat, shapes[level])
+            uv, uvhat = alt_ba_level_step(
+                cfg,
+                cur[level],
+                uv,
+                uvhat,
+                jnp.asarray(alpha, uv.dtype),
+                jnp.asarray(qterm),
+                jnp.asarray(replacement),
+            )
+    # Alt-BA returns the auxiliary field (alt_ba.py:185-187)
+    return uvhat
+
+
 class AltBAOpticalFlow(BAOpticalFlow):
     """Alternative BA with coupled auxiliary field."""
 
@@ -162,6 +209,28 @@ class AltBAOpticalFlow(BAOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
         uvhat = uv
+
+        if self.fuse and not self.display and gt is None:
+            from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+            self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+            stages = tuple(
+                (self._alt_cfg(), alpha, i != self.gnc_iters - 1)
+                for i, alpha in enumerate(self._gnc_alphas())
+            )
+            plan = AltBAFlowPlan(
+                texture=bool(self.texture),
+                levels=int(self.pyramid_levels),
+                spacing=float(self.pyramid_spacing),
+                gnc_levels=int(self.gnc_pyramid_levels),
+                gnc_spacing=float(self.gnc_pyramid_spacing),
+                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+                gnc_shapes=tuple(
+                    pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
+                ),
+                stages=stages,
+            )
+            return alt_ba_flow_program(plan, images, uv, uvhat)
 
         if self.texture:
             proc = structure_texture_decomposition_rof(images)

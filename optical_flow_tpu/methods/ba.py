@@ -106,6 +106,52 @@ def ba_level_step(cfg: IRLSLevelConfig, images, uv, alpha):
     return jax.lax.fori_loop(0, cfg.max_iters, warp_iter, uv)
 
 
+@dataclasses.dataclass(frozen=True)
+class BAFlowPlan:
+    """Static whole-flow schedule: GNC stages x pyramid levels."""
+
+    preprocess: str  # 'texture' | 'fc' | 'scale'
+    alp: float
+    levels: int
+    spacing: float
+    gnc_levels: int
+    gnc_spacing: float
+    shapes: Tuple[Tuple[int, int], ...]
+    gnc_shapes: Tuple[Tuple[int, int], ...]
+    stages: Tuple[Tuple[IRLSLevelConfig, float], ...]  # (cfg, alpha) per stage
+
+
+def _preprocess_traced(kind: str, images, alp: float):
+    if kind == "texture":
+        return structure_texture_decomposition_rof(images, 1.0 / 8, 100, alp)
+    if kind == "fc":
+        f = fspecial_gaussian(5, 1.5)
+        hp = images - alp * correlate2d_multi(images, f, "reflect")
+        return scale_image(hp, 0, 255)
+    return scale_image(images, 0, 255)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def ba_flow_program(plan: BAFlowPlan, images, uv):
+    """Whole GNC + coarse-to-fine BA flow as one device program."""
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    proc = _preprocess_traced(plan.preprocess, images, plan.alp)
+    pyramid = build_pyramid(proc, plan.levels, plan.spacing)
+    gnc_pyramid = build_pyramid(proc, plan.gnc_levels, plan.gnc_spacing)
+
+    for stage_idx, (cfg, alpha) in enumerate(plan.stages):
+        if stage_idx == 0:
+            levels, cur, shapes = plan.levels, pyramid, plan.shapes
+        else:
+            levels, cur, shapes = plan.gnc_levels, gnc_pyramid, plan.gnc_shapes
+        for level in range(levels - 1, -1, -1):
+            uv = resample_flow(uv, shapes[level])
+            uv = ba_level_step(cfg, cur[level], uv, jnp.asarray(alpha, uv.dtype))
+    return uv
+
+
 class BAOpticalFlow(BaseOpticalFlow):
     """Black & Anandan optical flow with robust estimation and GNC."""
 
@@ -174,12 +220,51 @@ class BAOpticalFlow(BaseOpticalFlow):
             return _jit_highpass(images, float(self.alp))
         return jit_scale255(images)
 
+    def _gnc_alphas(self):
+        """Host-side GNC alpha schedule (``ba.py:126-130``)."""
+        alphas = []
+        alpha = float(self.alpha)
+        for ignc in range(self.gnc_iters):
+            alphas.append(alpha)
+            if self.gnc_iters > 1:
+                alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (self.gnc_iters - 1)))
+        return alphas
+
+    def _preprocess_kind(self) -> str:
+        return "texture" if self.texture else ("fc" if self.fc else "scale")
+
+    def _make_plan(self, sz) -> "BAFlowPlan":
+        from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+        if self.auto_level:
+            self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+        stages = tuple(
+            (self._level_cfg(max_linear=1 if i == 0 else None), alpha)
+            for i, alpha in enumerate(self._gnc_alphas())
+        )
+        return BAFlowPlan(
+            preprocess=self._preprocess_kind(),
+            alp=float(self.alp),
+            levels=int(self.pyramid_levels),
+            spacing=float(self.pyramid_spacing),
+            gnc_levels=int(self.gnc_pyramid_levels),
+            gnc_spacing=float(self.gnc_pyramid_spacing),
+            shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+            gnc_shapes=tuple(
+                pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
+            ),
+            stages=stages,
+        )
+
     # ------------------------------------------------------------------
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine estimation (``ba.py:57-138``)."""
         images = self._as_dtype(self.images)
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
+
+        if self.fuse and not self.display and type(self) is BAOpticalFlow:
+            return ba_flow_program(self._make_plan(sz), images, uv)
 
         images = self._preprocess(images)
 

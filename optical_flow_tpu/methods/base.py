@@ -74,6 +74,15 @@ class BaseOpticalFlow:
         # numeric precision of the compute path (tests may use float64 on CPU)
         self.dtype = jnp.float32
 
+        # Fuse the whole coarse-to-fine flow into ONE jitted program
+        # (hs_flow_program / ba_flow_program / ...).  Kills host<->device
+        # dispatch latency, but XLA currently allocates each level loop's
+        # weighted-median patch stacks separately in the monolith, which
+        # OOMs HBM for Classic+NL at full resolution — off by default
+        # until the O(tile)-memory Pallas weighted median replaces the
+        # patch-stack formulation.  HS/BA monoliths compile fine.
+        self.fuse = False
+
         # Pyramid settings
         self.pyramid_levels = 4
         self.pyramid_spacing = 2.0

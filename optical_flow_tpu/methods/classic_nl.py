@@ -65,6 +65,63 @@ def classic_nl_level_step(cfg: NLLevelConfig, images, color_images, uv, alpha):
     return jax.lax.fori_loop(0, irls.max_iters, warp_iter, uv)
 
 
+@dataclasses.dataclass(frozen=True)
+class NLFlowPlan:
+    """Static whole-flow schedule for Classic+NL."""
+
+    preprocess: str
+    alp: float
+    levels: int
+    spacing: float
+    gnc_levels: int
+    gnc_spacing: float
+    shapes: Tuple[Tuple[int, int], ...]
+    gnc_shapes: Tuple[Tuple[int, int], ...]
+    stages: Tuple[Tuple[NLLevelConfig, float], ...]
+    use_color: bool
+
+
+@partial(jax.jit, static_argnums=(0,))
+def classic_nl_flow_program(plan: NLFlowPlan, images, color, uv):
+    """Whole GNC + coarse-to-fine Classic+NL flow as one device program.
+
+    The original-image pyramid of the reference feeds only the inert
+    ``seg`` attribute (``classic_nl.py:174``), so it is not built here;
+    the Lab color pyramid (the weighted-median guide) is.
+    """
+    from optical_flow_tpu.methods.ba import _preprocess_traced
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    proc = _preprocess_traced(plan.preprocess, images, plan.alp)
+    pyramid = build_pyramid(proc, plan.levels, plan.spacing)
+    gnc_pyramid = build_pyramid(proc, plan.gnc_levels, plan.gnc_spacing)
+    if plan.use_color:
+        color_pyr = build_pyramid(color, plan.levels, plan.spacing)
+        color_gnc_pyr = build_pyramid(color, plan.gnc_levels, plan.gnc_spacing)
+    else:
+        dummy = jnp.zeros((1, 1), dtype=uv.dtype)
+        color_pyr = [dummy] * plan.levels
+        color_gnc_pyr = [dummy] * plan.gnc_levels
+
+    for stage_idx, (cfg, alpha) in enumerate(plan.stages):
+        if stage_idx == 0:
+            levels, cur, ccur, shapes = plan.levels, pyramid, color_pyr, plan.shapes
+        else:
+            levels, cur, ccur, shapes = (
+                plan.gnc_levels,
+                gnc_pyramid,
+                color_gnc_pyr,
+                plan.gnc_shapes,
+            )
+        for level in range(levels - 1, -1, -1):
+            uv = resample_flow(uv, shapes[level])
+            uv = classic_nl_level_step(
+                cfg, cur[level], ccur[level], uv, jnp.asarray(alpha, uv.dtype)
+            )
+    return uv
+
+
 class ClassicNLOpticalFlow(BAOpticalFlow):
     """Classic+NL with generalized Charbonnier penalties and NL term."""
 
@@ -129,13 +186,6 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             use_color=use_color,
         )
 
-    def _color_ok(self, color_level) -> bool:
-        """Static decision mirroring the reference's size-based fallback
-        (``weighted_median.py:42-47``)."""
-        if color_level is None:
-            return False
-        return int(np.prod(color_level.shape[:2])) >= 1  # real image present
-
     # ------------------------------------------------------------------
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine with triple pyramids (``classic_nl.py:89-198``)."""
@@ -143,17 +193,47 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        proc = self._preprocess(images)
-
-        if self.auto_level:
-            self.pyramid_levels = self._auto_pyramid_levels(proc)
-
         color = None
         if self.color_images is not None:
             color = self._as_dtype(self.color_images)
             # the (1,1,3) placeholder from the config table means "no color"
             if int(np.prod(color.shape[:2])) < sz[0] * sz[1]:
                 color = None
+
+        if self.fuse and not self.display and gt is None and type(self) is ClassicNLOpticalFlow:
+            from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+            if self.auto_level:
+                self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+            stages = tuple(
+                (
+                    self._nl_cfg(use_color=color is not None, max_linear=1 if i == 0 else None),
+                    alpha,
+                )
+                for i, alpha in enumerate(self._gnc_alphas())
+            )
+            plan = NLFlowPlan(
+                preprocess=self._preprocess_kind(),
+                alp=float(self.alp),
+                levels=int(self.pyramid_levels),
+                spacing=float(self.pyramid_spacing),
+                gnc_levels=int(self.gnc_pyramid_levels),
+                gnc_spacing=float(self.gnc_pyramid_spacing),
+                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+                gnc_shapes=tuple(
+                    pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
+                ),
+                stages=stages,
+                use_color=color is not None,
+            )
+            if color is None:
+                color = jnp.zeros((1, 1), dtype=self.dtype)
+            return classic_nl_flow_program(plan, images, color, uv)
+
+        proc = self._preprocess(images)
+
+        if self.auto_level:
+            self.pyramid_levels = self._auto_pyramid_levels(proc)
 
         pyr = self._build_pyramid(proc, self.pyramid_levels, self.pyramid_spacing)
         org_pyr = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)

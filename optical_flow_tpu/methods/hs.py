@@ -85,6 +85,48 @@ def hs_level_step(cfg: HSLevelConfig, images, uv):
     return uv
 
 
+@dataclasses.dataclass(frozen=True)
+class HSFlowPlan:
+    """Static whole-flow schedule: preprocessing + pyramid ladder + levels."""
+
+    texture: bool
+    levels: int
+    spacing: float
+    shapes: Tuple[Tuple[int, int], ...]  # finest-first pyramid shapes
+    cfg: HSLevelConfig
+    final_median: Optional[Tuple[int, int]]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def hs_flow_program(plan: HSFlowPlan, images, uv):
+    """The whole coarse-to-fine HS flow as one device program.
+
+    One dispatch executes preprocessing, every pyramid level build, every
+    level solve, and the final median — essential when each host->device
+    call costs tens of ms of link latency.
+    """
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    if plan.texture:
+        images = structure_texture_decomposition_rof(images)
+    else:
+        images = scale_image(images, 0, 255)
+    pyramid = build_pyramid(images, plan.levels, plan.spacing)
+    for level in range(plan.levels - 1, -1, -1):
+        uv = resample_flow(uv, plan.shapes[level])
+        uv = hs_level_step(plan.cfg, pyramid[level], uv)
+    if plan.final_median is not None:
+        uv = jnp.stack(
+            [
+                median_filter2d(uv[:, :, 0], plan.final_median),
+                median_filter2d(uv[:, :, 1], plan.final_median),
+            ],
+            axis=-1,
+        )
+    return uv
+
+
 class HSOpticalFlow(BaseOpticalFlow):
     """Horn–Schunck with quadratic penalty and Laplacian spatial term."""
 
@@ -128,6 +170,23 @@ class HSOpticalFlow(BaseOpticalFlow):
         images = self._as_dtype(self.images)
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
+
+        if self.fuse and not self.display:
+            from optical_flow_tpu.ops.pyramid import pyramid_shapes
+
+            self.pyramid_levels = self._auto_pyramid_levels(images)
+            mfs = self.median_filter_size
+            if mfs is not None:
+                mfs = (int(mfs[0]), int(mfs[1])) if hasattr(mfs, "__len__") else (int(mfs), int(mfs))
+            plan = HSFlowPlan(
+                texture=bool(self.texture),
+                levels=int(self.pyramid_levels),
+                spacing=float(self.pyramid_spacing),
+                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+                cfg=self._level_cfg(),
+                final_median=mfs,
+            )
+            return hs_flow_program(plan, images, uv)
 
         if self.texture:
             images = structure_texture_decomposition_rof(images)

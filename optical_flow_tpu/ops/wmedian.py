@@ -98,27 +98,48 @@ def denoise_color_weighted_medfilt2(
     color_pad = jnp.pad(color_images, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="reflect")
 
     if row_chunk <= 0:
-        # bound the (rows, W, k^2) footprint to ~256 MB of f32
+        # bound the (rows, W, k^2) patch-stack footprint to ~256 MB of f32.
+        # Successive weighted-median calls are data-dependent, so one
+        # image-sized stack at a time is the true peak; only images too
+        # large for that (4K+) fall into the sequential lax.map path.
         budget = 64 * 1024 * 1024
         row_chunk = max(1, min(H, budget // max(1, W * k * k)))
 
-    out_u = []
-    out_v = []
-    for r0 in range(0, H, row_chunk):
-        r1 = min(r0 + row_chunk, H)
-        rows = r1 - r0
-        up = _patch_stack(u_pad[r0 : r1 + 2 * hsz], rows, W, k)
-        vp = _patch_stack(v_pad[r0 : r1 + 2 * hsz], rows, W, k)
-        op = _patch_stack(occ_pad[r0 : r1 + 2 * hsz], rows, W, k)
+    def chunk_median(r0, rows):
+        """Weighted median for rows [r0, r0+rows); r0 may be traced."""
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, rows + 2 * hsz, axis=0)
+        up = _patch_stack(sl(u_pad), rows, W, k)
+        vp = _patch_stack(sl(v_pad), rows, W, k)
+        op = _patch_stack(sl(occ_pad), rows, W, k)
         cdiff = jnp.zeros_like(op)
         for c in range(C):
-            cp = _patch_stack(color_pad[r0 : r1 + 2 * hsz, :, c], rows, W, k)
-            center = color_images[r0:r1, :, c][:, :, None]
+            cp = _patch_stack(sl(color_pad[:, :, c]), rows, W, k)
+            center = jax.lax.dynamic_slice_in_dim(
+                color_images[:, :, c], r0, rows, axis=0
+            )[:, :, None]
             cdiff = cdiff + (cp - center) ** 2
         w = jnp.maximum(jnp.exp(-cdiff * inv_2sigma2) * op, 1e-10)
-        out_u.append(_weighted_median_lastaxis(up, w))
-        out_v.append(_weighted_median_lastaxis(vp, w))
+        return _weighted_median_lastaxis(up, w), _weighted_median_lastaxis(vp, w)
 
-    u_out = jnp.concatenate(out_u, axis=0) if len(out_u) > 1 else out_u[0]
-    v_out = jnp.concatenate(out_v, axis=0) if len(out_v) > 1 else out_v[0]
+    if row_chunk >= H:
+        u_out, v_out = chunk_median(0, H)
+        return jnp.stack([u_out, v_out], axis=-1)
+
+    # Sequential chunking via lax.map: one chunk's patch stacks live at a
+    # time.  (A Python loop would emit independent subgraphs that XLA's
+    # scheduler overlaps, multiplying peak HBM by the chunk count.)
+    n_chunks = -(-H // row_chunk)
+    pad_rows = n_chunks * row_chunk - H
+    if pad_rows:
+        u_pad = jnp.pad(u_pad, ((0, pad_rows), (0, 0)))
+        v_pad = jnp.pad(v_pad, ((0, pad_rows), (0, 0)))
+        occ_pad = jnp.pad(occ_pad, ((0, pad_rows), (0, 0)), constant_values=1.0)
+        color_pad = jnp.pad(color_pad, ((0, pad_rows), (0, 0), (0, 0)))
+        color_images = jnp.pad(color_images, ((0, pad_rows), (0, 0), (0, 0)))
+
+    u_out, v_out = jax.lax.map(
+        lambda i: chunk_median(i * row_chunk, row_chunk), jnp.arange(n_chunks)
+    )
+    u_out = u_out.reshape(n_chunks * row_chunk, W)[:H]
+    v_out = v_out.reshape(n_chunks * row_chunk, W)[:H]
     return jnp.stack([u_out, v_out], axis=-1)
