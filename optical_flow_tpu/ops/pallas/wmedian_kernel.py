@@ -1,0 +1,217 @@
+"""Pallas TPU kernel: color-guided weighted median via exact bit-bisection.
+
+The XLA formulation (ops/wmedian.py) materializes (H, W, 225) patch stacks
+in HBM and key-value sorts them — ~200 MB of temporaries per call and a
+bitonic sort over the patch axis.  This kernel computes the identical
+weighted median with O(tile) VMEM and no sort:
+
+* float32 values are encoded into *order-isomorphic* uint32 keys
+  (sign-magnitude flip), so the weighted median becomes: the smallest key
+  ``m`` with  S(m) = sum of weights of keys <= m  >=  total/2.
+* 32 rounds of integer bisection over the key space find ``m`` exactly —
+  the invariant S(lo) < total/2 <= S(hi) contracts to adjacent integers,
+  and since S only jumps at present keys, ``hi`` lands exactly on a
+  sample.  This reproduces the reference's sort+cumsum+searchsorted
+  selection (``weighted_median.py:5-21``) without ordering any data.
+* The grid tiles the image (8 rows x 256 cols per program).  Each program
+  loads an aligned (32, 384) window of every input once, carves the 225
+  patch offsets out with *static* value slices (TPU alignment rules allow
+  arbitrary static offsets; dynamic offsets must be tile-aligned), and
+  keeps the (8, 225, 256) weight/key stacks in VMEM scratch.  Every
+  bisection step is one fused VPU pass over the stacks; HBM sees each
+  input pixel once.
+
+Mirror padding and the (H, W) crop are handled by the wrapper.  Larger
+windows than area_hsz=7 (patch > 15x15) fall back to the XLA path by the
+``wmedian_pallas_ok`` guard.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 256
+_ROW_WINDOW = 32  # >= TILE_H + 2*hsz for hsz <= 12, 8-aligned
+_COL_WINDOW = 384  # >= TILE_W + 2*hsz, 128-aligned
+
+
+_SIGN = np.int32(np.uint32(0x80000000).view(np.int32))  # int32 min
+
+
+def _encode_f32(x):
+    """Order-isomorphic SIGNED int32 key of a float32 value.
+
+    x >= 0 -> raw bits; x < 0 -> ~bits ^ 0x80000000.  Signed integer order
+    then matches float order (TPU vector units have no unsigned min/max).
+    """
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(b < 0, jnp.invert(b) ^ _SIGN, b)
+
+
+def _decode_i32(key):
+    """Inverse of :func:`_encode_f32`."""
+    b = jnp.where(key < 0, jnp.invert(key ^ _SIGN), key)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _midpoint(lo, hi):
+    """Overflow-safe floor((lo + hi) / 2) for signed int32."""
+    return (lo & hi) + ((lo ^ hi) >> 1)
+
+
+def _wmedian_kernel(
+    u_ref,
+    v_ref,
+    occ_ref,
+    color_ref,
+    out_ref,
+    w_s,
+    k_s,
+    *,
+    hsz: int,
+    n_chan: int,
+    inv_2sigma2: float,
+):
+    k = 2 * hsz + 1
+    K2 = k * k
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = pl.multiple_of(i * TILE_H, TILE_H)
+    c0 = pl.multiple_of(j * TILE_W, 128)
+
+    def window(ref):
+        """Aligned (ROW_WINDOW, COL_WINDOW) input window as a value."""
+        return ref[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)]
+
+    Bu = window(u_ref)
+    Bv = window(v_ref)
+    Bo = window(occ_ref)
+    Bc = [
+        color_ref[c, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)]
+        for c in range(n_chan)
+    ]
+    centers = [B[hsz : hsz + TILE_H, hsz : hsz + TILE_W] for B in Bc]
+
+    # ---- weights: one static slice chain per patch offset -----------------
+    total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for o in range(K2):
+        dy, dx = o // k, o % k
+        cdiff = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for c in range(n_chan):
+            patch = Bc[c][dy : dy + TILE_H, dx : dx + TILE_W]
+            cdiff = cdiff + (patch - centers[c]) ** 2
+        occ = Bo[dy : dy + TILE_H, dx : dx + TILE_W]
+        w = jnp.maximum(jnp.exp(-cdiff * inv_2sigma2) * occ, 1e-10)
+        w_s[:, o, :] = w
+        total = total + w
+    half = total * 0.5
+
+    def field_median(B, out_channel):
+        lo = jnp.full((TILE_H, TILE_W), 0x7FFFFFFF, jnp.int32)
+        hi = jnp.full((TILE_H, TILE_W), _SIGN, jnp.int32)
+        for o in range(K2):
+            dy, dx = o // k, o % k
+            keys = _encode_f32(B[dy : dy + TILE_H, dx : dx + TILE_W])
+            k_s[:, o, :] = keys
+            lo = jnp.minimum(lo, keys)
+            hi = jnp.maximum(hi, keys)
+        # S(lo) must be < half: step just below the smallest present key
+        # (finite float32 never encodes to int32 min, so this cannot wrap)
+        lo = lo - 1
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = _midpoint(lo, hi)
+            below = jnp.where(k_s[:] <= mid[:, None, :], w_s[:], 0.0)
+            S = jnp.sum(below, axis=1)
+            ge = S >= half
+            return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, 32, bisect, (lo, hi))
+        out_ref[:, :, out_channel] = _decode_i32(hi)
+
+    field_median(Bu, 0)
+    field_median(Bv, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def wmedian_pallas(
+    u_pad,
+    v_pad,
+    occ_pad,
+    color_pad_cmajor,
+    out_hw,
+    area_hsz: int,
+    sigma_i: float,
+    interpret: bool = False,
+):
+    """Weighted median of both flow fields over (2h+1)^2 patches.
+
+    Args:
+        u_pad, v_pad, occ_pad: mirror-padded (H+2h, W+2h) float32 fields.
+        color_pad_cmajor: (C, H+2h, W+2h) float32 padded guide image.
+        out_hw: static (H, W) output size.
+    Returns (H, W, 2) medians.
+    """
+    H, W = out_hw
+    hsz = int(area_hsz)
+    n_row = -(-H // TILE_H)
+    n_col = -(-W // TILE_W)
+    Hp = n_row * TILE_H + (_ROW_WINDOW - TILE_H)
+    Wp = (n_col - 1) * TILE_W + _COL_WINDOW
+    C = color_pad_cmajor.shape[0]
+
+    def fit(x, axes):
+        cfg = [(0, 0)] * x.ndim
+        for ax, target in axes:
+            cfg[ax] = (0, max(0, target - x.shape[ax]))
+        return jnp.pad(x, cfg)
+
+    u_pad = fit(u_pad, [(0, Hp), (1, Wp)])
+    v_pad = fit(v_pad, [(0, Hp), (1, Wp)])
+    occ_pad = fit(occ_pad, [(0, Hp), (1, Wp)])
+    color_pad_cmajor = fit(color_pad_cmajor, [(1, Hp), (2, Wp)])
+
+    kernel = functools.partial(
+        _wmedian_kernel,
+        hsz=hsz,
+        n_chan=C,
+        inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
+    )
+    K2 = (2 * hsz + 1) ** 2
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_row, n_col),
+        out_shape=jax.ShapeDtypeStruct((n_row * TILE_H, n_col * TILE_W, 2), jnp.float32),
+        in_specs=[full(), full(), full(), full()],
+        out_specs=pl.BlockSpec(
+            (TILE_H, TILE_W, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
+        ],
+        interpret=interpret,
+    )(u_pad, v_pad, occ_pad, color_pad_cmajor)
+    return out[:H, :W]
+
+
+def wmedian_pallas_ok(H, W, hsz, C, budget_bytes: int = 13 * 1024 * 1024) -> bool:
+    """True when the kernel's static window/scratch configuration applies."""
+    if TILE_H + 2 * hsz > _ROW_WINDOW or TILE_W + 2 * hsz > _COL_WINDOW:
+        return False
+    n_col = -(-W // TILE_W)
+    Hp = (-(-H // TILE_H)) * TILE_H + (_ROW_WINDOW - TILE_H)
+    Wp = (n_col - 1) * TILE_W + _COL_WINDOW
+    lanes = -(-Wp // 128) * 128
+    inputs = Hp * lanes * (3 + C) * 4
+    K2 = (2 * hsz + 1) ** 2
+    scratch = 2 * TILE_H * K2 * TILE_W * 4
+    return inputs + scratch <= budget_bytes

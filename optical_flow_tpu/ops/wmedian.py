@@ -17,11 +17,27 @@ For large images the rows are processed in static chunks to bound the
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.ops.filters import median_filter2d
+
+# 'auto' | 'sort' | 'pallas' — auto picks the Pallas bisection kernel on
+# TPU float32 whenever the tile configuration fits VMEM.
+WMEDIAN_IMPL = os.environ.get("OFTPU_WMEDIAN_IMPL", "auto")
+
+
+def _impl_for(H, W, hsz, C, dtype) -> str:
+    if WMEDIAN_IMPL != "auto":
+        return WMEDIAN_IMPL
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return "sort"
+    from optical_flow_tpu.ops.pallas.wmedian_kernel import wmedian_pallas_ok
+
+    return "pallas" if wmedian_pallas_ok(H, W, hsz, C) else "sort"
 
 
 def _patch_stack(padded, H, W, k):
@@ -96,6 +112,19 @@ def denoise_color_weighted_medfilt2(
     v_pad = jnp.pad(uv[:, :, 1], hsz, mode="reflect")
     occ_pad = jnp.pad(occ, hsz, mode="reflect")
     color_pad = jnp.pad(color_images, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="reflect")
+
+    if _impl_for(H, W, hsz, C, uv.dtype) == "pallas":
+        from optical_flow_tpu.ops.pallas.wmedian_kernel import wmedian_pallas
+
+        return wmedian_pallas(
+            u_pad,
+            v_pad,
+            occ_pad,
+            jnp.transpose(color_pad, (2, 0, 1)),
+            (H, W),
+            hsz,
+            float(sigma_i),
+        )
 
     if row_chunk <= 0:
         # bound the (rows, W, k^2) patch-stack footprint to ~256 MB of f32.

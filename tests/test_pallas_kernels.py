@@ -1,0 +1,71 @@
+"""Pallas TPU kernels, verified in interpreter mode against the XLA paths."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optical_flow_tpu.ops.pallas.rof_kernel import rof_structure_2d_pallas
+from optical_flow_tpu.ops.pallas.wmedian_kernel import wmedian_pallas, wmedian_pallas_ok
+from optical_flow_tpu.ops.rof import rof_structure_2d
+from optical_flow_tpu.ops.wmedian import denoise_color_weighted_medfilt2
+
+
+def test_rof_kernel_matches_xla(rng):
+    im = jnp.asarray(rng.uniform(-1, 1, (33, 47)), jnp.float32)
+    ref = np.asarray(rof_structure_2d(im))
+    out = np.asarray(rof_structure_2d_pallas(im, 1.0 / 8, 100, True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,hsz,C", [((19, 23), 3, 3), ((40, 300), 7, 3), ((16, 260), 2, 1)])
+def test_wmedian_kernel_bit_exact(rng, shape, hsz, C):
+    """The bit-bisection selection must match sort+cumsum+searchsorted exactly."""
+    H, W = shape
+    uv = (3 * rng.standard_normal((H, W, 2))).astype(np.float32)
+    color = rng.uniform(0, 255, (H, W, C)).astype(np.float32)
+    occ = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+
+    ref = np.asarray(
+        denoise_color_weighted_medfilt2(
+            jnp.asarray(uv), jnp.asarray(color), jnp.asarray(occ), hsz, [5, 5], 7.0
+        )
+    )
+    u_pad = jnp.pad(uv[:, :, 0], hsz, mode="reflect")
+    v_pad = jnp.pad(uv[:, :, 1], hsz, mode="reflect")
+    occ_pad = jnp.pad(occ, hsz, mode="reflect")
+    cmaj = jnp.transpose(
+        jnp.pad(color, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="reflect"), (2, 0, 1)
+    )
+    out = np.asarray(
+        wmedian_pallas(u_pad, v_pad, occ_pad, cmaj, (H, W), hsz, 7.0, True)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_wmedian_kernel_duplicate_values(rng):
+    """Mirror padding creates exact duplicates — selection must still match."""
+    H, W, hsz = 12, 140, 4
+    uv = np.round(rng.standard_normal((H, W, 2)) * 4) / 4  # many ties
+    uv = uv.astype(np.float32)
+    color = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    occ = rng.uniform(0.1, 1.0, (H, W)).astype(np.float32)
+    ref = np.asarray(
+        denoise_color_weighted_medfilt2(
+            jnp.asarray(uv), jnp.asarray(color), jnp.asarray(occ), hsz, [5, 5], 7.0
+        )
+    )
+    u_pad = jnp.pad(uv[:, :, 0], hsz, mode="reflect")
+    v_pad = jnp.pad(uv[:, :, 1], hsz, mode="reflect")
+    occ_pad = jnp.pad(occ, hsz, mode="reflect")
+    cmaj = jnp.transpose(
+        jnp.pad(color, ((hsz, hsz), (hsz, hsz), (0, 0)), mode="reflect"), (2, 0, 1)
+    )
+    out = np.asarray(
+        wmedian_pallas(u_pad, v_pad, occ_pad, cmaj, (H, W), hsz, 7.0, True)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_wmedian_guard():
+    assert wmedian_pallas_ok(388, 584, 7, 3)
+    assert not wmedian_pallas_ok(2160, 3840, 7, 3)  # 4K: falls back to XLA
+    assert not wmedian_pallas_ok(100, 100, 15, 3)  # window exceeds static config
