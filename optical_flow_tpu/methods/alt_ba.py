@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig
+from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig, irls_prepare
 from optical_flow_tpu.methods.base import jit_scale255
 from optical_flow_tpu.ops.denoise import denoise_LO
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
@@ -38,6 +38,18 @@ class AltBALevelConfig:
     lambda2: float
     lambda3: float
     iters_lo: int
+
+
+@partial(jax.jit, static_argnums=(0,))
+def alt_ba_level_resampled(cfg, images, uv, uvhat, alpha, qterm, replacement):
+    """Level step with both inter-level flow resamples fused in."""
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    nsz = images.shape[:2]
+    return alt_ba_level_step(
+        cfg, images, resample_flow(uv, nsz), resample_flow(uvhat, nsz),
+        alpha, qterm, replacement,
+    )
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -232,14 +244,17 @@ class AltBAOpticalFlow(BAOpticalFlow):
             )
             return alt_ba_flow_program(plan, images, uv, uvhat)
 
-        if self.texture:
-            proc = structure_texture_decomposition_rof(images)
-        else:
-            proc = jit_scale255(images)
-
-        self.pyramid_levels = self._auto_pyramid_levels(proc)
-        pyramid = self._build_pyramid(proc, self.pyramid_levels, self.pyramid_spacing)
-        gnc_pyramid = self._build_pyramid(proc, self.gnc_pyramid_levels, self.gnc_pyramid_spacing)
+        self.pyramid_levels = self._auto_pyramid_levels(images)
+        # the reference's Alt-BA texture path uses the default alp=0.95
+        # regardless of self.alp (alt_ba.py:101-104)
+        pyramid, gnc_pyramid = irls_prepare(
+            images,
+            "texture" if self.texture else "scale",
+            0.95,
+            int(self.pyramid_levels),
+            float(self.pyramid_spacing),
+            (int(self.gnc_pyramid_levels), float(self.gnc_pyramid_spacing)),
+        )
 
         start_time = time.time()
         alpha = float(self.alpha)
@@ -259,10 +274,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
                     print(f"  Pyramid level: {level + 1}")
                 # coupling off at the coarsest level of stage 1 (alt_ba.py:156-160)
                 qterm = not (level == levels - 1 and ignc == 0)
-                nsz = current[level].shape[:2]
-                uv = resample_flow(uv, nsz)
-                uvhat = resample_flow(uvhat, nsz)
-                uv, uvhat = alt_ba_level_step(
+                uv, uvhat = alt_ba_level_resampled(
                     cfg,
                     current[level],
                     uv,

@@ -131,6 +131,29 @@ def _preprocess_traced(kind: str, images, alp: float):
     return scale_image(images, 0, 255)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def irls_prepare(images, preprocess: str, alp: float, levels: int,
+                 spacing: float, gnc_levels_spacing):
+    """Preprocess + build both texture pyramids in ONE device program."""
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+
+    gnc_levels, gnc_spacing = gnc_levels_spacing
+    proc = _preprocess_traced(preprocess, images, alp)
+    return (
+        tuple(build_pyramid(proc, levels, spacing)),
+        tuple(build_pyramid(proc, gnc_levels, gnc_spacing)),
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def ba_level_resampled(cfg: IRLSLevelConfig, images, uv, alpha):
+    """Level step with the inter-level flow resample fused in."""
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    uv = resample_flow(uv, images.shape[:2])
+    return ba_level_step(cfg, images, uv, alpha)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def ba_flow_program(plan: BAFlowPlan, images, uv):
     """Whole GNC + coarse-to-fine BA flow as one device program."""
@@ -266,14 +289,16 @@ class BAOpticalFlow(BaseOpticalFlow):
         if self.fuse and not self.display and type(self) is BAOpticalFlow:
             return ba_flow_program(self._make_plan(sz), images, uv)
 
-        images = self._preprocess(images)
-
         if self.auto_level:
             self.pyramid_levels = self._auto_pyramid_levels(images)
 
-        pyramid = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
-        gnc_pyramid = self._build_pyramid(
-            images, self.gnc_pyramid_levels, self.gnc_pyramid_spacing
+        pyramid, gnc_pyramid = irls_prepare(
+            images,
+            self._preprocess_kind(),
+            float(self.alp),
+            int(self.pyramid_levels),
+            float(self.pyramid_spacing),
+            (int(self.gnc_pyramid_levels), float(self.gnc_pyramid_spacing)),
         )
 
         start_time = time.time()
@@ -291,9 +316,9 @@ class BAOpticalFlow(BaseOpticalFlow):
             for level in range(levels - 1, -1, -1):
                 if self.display:
                     print(f"  Pyramid level: {level + 1}")
-                nsz = current[level].shape[:2]
-                uv = resample_flow(uv, nsz)
-                uv = ba_level_step(cfg, current[level], uv, jnp.asarray(alpha, self.dtype))
+                uv = ba_level_resampled(
+                    cfg, current[level], uv, jnp.asarray(alpha, self.dtype)
+                )
 
             if self.gnc_iters > 1:
                 new_alpha = 1.0 - (ignc + 1) / (self.gnc_iters - 1)

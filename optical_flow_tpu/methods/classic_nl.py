@@ -17,7 +17,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig, _blended_solve
+from optical_flow_tpu.methods.ba import (
+    BAOpticalFlow,
+    IRLSLevelConfig,
+    _blended_solve,
+    irls_prepare,
+)
+from optical_flow_tpu.ops.pyramid import pyramid_pair
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.occlusion import detect_occlusion
 from optical_flow_tpu.ops.penalties import Robust
@@ -79,6 +85,15 @@ class NLFlowPlan:
     gnc_shapes: Tuple[Tuple[int, int], ...]
     stages: Tuple[Tuple[NLLevelConfig, float], ...]
     use_color: bool
+
+
+@partial(jax.jit, static_argnums=(0,))
+def classic_nl_level_resampled(cfg: NLLevelConfig, images, color_images, uv, alpha):
+    """Level step with the inter-level flow resample fused in (1 dispatch)."""
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    uv = resample_flow(uv, images.shape[:2])
+    return classic_nl_level_step(cfg, images, color_images, uv, alpha)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -230,27 +245,31 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                 color = jnp.zeros((1, 1), dtype=self.dtype)
             return classic_nl_flow_program(plan, images, color, uv)
 
-        proc = self._preprocess(images)
-
         if self.auto_level:
-            self.pyramid_levels = self._auto_pyramid_levels(proc)
+            self.pyramid_levels = self._auto_pyramid_levels(images)
 
-        pyr = self._build_pyramid(proc, self.pyramid_levels, self.pyramid_spacing)
-        org_pyr = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
-        color_pyr = (
-            self._build_pyramid(color, self.pyramid_levels, self.pyramid_spacing)
-            if color is not None
-            else [None] * self.pyramid_levels
+        # preprocessing + both texture pyramids fused into one dispatch;
+        # the original-image pyramid of the reference feeds only the inert
+        # ``seg`` attribute (classic_nl.py:174) and is not built
+        pyr, gnc_pyr = irls_prepare(
+            images,
+            self._preprocess_kind(),
+            float(self.alp),
+            int(self.pyramid_levels),
+            float(self.pyramid_spacing),
+            (int(self.gnc_pyramid_levels), float(self.gnc_pyramid_spacing)),
         )
-        gnc_pyr = self._build_pyramid(proc, self.gnc_pyramid_levels, self.gnc_pyramid_spacing)
-        org_gnc_pyr = self._build_pyramid(
-            images, self.gnc_pyramid_levels, self.gnc_pyramid_spacing
-        )
-        color_gnc_pyr = (
-            self._build_pyramid(color, self.gnc_pyramid_levels, self.gnc_pyramid_spacing)
-            if color is not None
-            else [None] * self.gnc_pyramid_levels
-        )
+        if color is not None:
+            color_pyr, color_gnc_pyr = pyramid_pair(
+                color,
+                int(self.pyramid_levels),
+                float(self.pyramid_spacing),
+                int(self.gnc_pyramid_levels),
+                float(self.gnc_pyramid_spacing),
+            )
+        else:
+            color_pyr = [None] * self.pyramid_levels
+            color_gnc_pyr = [None] * self.gnc_pyramid_levels
 
         start_time = time.time()
         alpha = float(self.alpha)
@@ -260,10 +279,10 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                 print(f"GNC stage: {ignc + 1}")
             if ignc == 0:
                 levels = self.pyramid_levels
-                cur, cur_org, cur_color = pyr, org_pyr, color_pyr
+                cur, cur_color = pyr, color_pyr
             else:
                 levels = self.gnc_pyramid_levels
-                cur, cur_org, cur_color = gnc_pyr, org_gnc_pyr, color_gnc_pyr
+                cur, cur_color = gnc_pyr, color_gnc_pyr
 
             cfg = self._nl_cfg(
                 use_color=color is not None,
@@ -273,14 +292,13 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                 if self.display:
                     print(f"  Pyramid level: {level + 1}")
                 nsz = cur[level].shape[:2]
-                uv = resample_flow(uv, nsz)
                 # the adaptive affine window (classic_nl.py:176) only matters
                 # for the (unimplemented-in-reference) full version
                 self.affine_hsz = min(4, max(2, int(np.ceil(min(nsz) / 75))))
                 color_level = cur_color[level]
                 if color_level is None:
                     color_level = jnp.zeros((1, 1), dtype=self.dtype)
-                uv = classic_nl_level_step(
+                uv = classic_nl_level_resampled(
                     cfg, cur[level], color_level, uv, jnp.asarray(alpha, self.dtype)
                 )
 

@@ -41,6 +41,27 @@ class HSLevelConfig:
     solver: Tuple
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def hs_prepare(images, texture: bool, levels: int, spacing: float):
+    """Preprocess + full pyramid in ONE device program."""
+    from optical_flow_tpu.ops.pyramid import build_pyramid
+
+    if texture:
+        images = structure_texture_decomposition_rof(images)
+    else:
+        images = scale_image(images, 0, 255)
+    return tuple(build_pyramid(images, levels, spacing))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def hs_level_resampled(cfg: "HSLevelConfig", images, uv):
+    """Level step with the inter-level flow resample fused in."""
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    uv = resample_flow(uv, images.shape[:2])
+    return hs_level_step(cfg, images, uv)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def hs_level_step(cfg: HSLevelConfig, images, uv):
     """One pyramid level of Horn–Schunck (``hs.py:109-142``)."""
@@ -188,21 +209,16 @@ class HSOpticalFlow(BaseOpticalFlow):
             )
             return hs_flow_program(plan, images, uv)
 
-        if self.texture:
-            images = structure_texture_decomposition_rof(images)
-        else:
-            images = jit_scale255(images)
-
         self.pyramid_levels = self._auto_pyramid_levels(images)
-        pyramid = self._build_pyramid(images, self.pyramid_levels, self.pyramid_spacing)
+        pyramid = hs_prepare(
+            images, bool(self.texture), int(self.pyramid_levels), float(self.pyramid_spacing)
+        )
 
         cfg = self._level_cfg()
         for level in range(self.pyramid_levels - 1, -1, -1):
             if self.display:
                 print(f"Pyramid level: {level + 1}")
-            nsz = pyramid[level].shape[:2]
-            uv = resample_flow(uv, nsz)
-            uv = hs_level_step(cfg, pyramid[level], uv)
+            uv = hs_level_resampled(cfg, pyramid[level], uv)
 
         if self.median_filter_size is not None:
             mfs = self.median_filter_size

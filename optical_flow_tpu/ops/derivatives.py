@@ -148,22 +148,32 @@ def _hermite_bicubic(tables, yq, xq, dtype):
     ``interp2_bicubic`` convention: a point is out once its ceil neighbor
     leaves the grid (``derivatives.py:52-56``), i.e. x >= W-1 counts as out.
     """
+    from optical_flow_tpu.ops.gather import gather_planes
+
     Z, DX, DY, DXY = tables
     H, W = Z.shape
     fx = jnp.floor(xq)
     fy = jnp.floor(yq)
     oob = (fx < 0) | (fx + 1 > W - 1) | (fy < 0) | (fy + 1 > H - 1)
 
-    ix0 = jnp.clip(fx.astype(jnp.int32), 0, W - 1)
-    ix1 = jnp.clip(fx.astype(jnp.int32) + 1, 0, W - 1)
-    iy0 = jnp.clip(fy.astype(jnp.int32), 0, H - 1)
-    iy1 = jnp.clip(fy.astype(jnp.int32) + 1, 0, H - 1)
+    iy0 = jnp.clip(fy, 0, H - 1).astype(jnp.int32)
+    ix0 = jnp.clip(fx, 0, W - 1).astype(jnp.int32)
 
-    def corners(A):
-        # order: 00=(fx,fy), 10=(cx,fy), 11=(cx,cy), 01=(fx,cy)
-        return (A[iy0, ix0], A[iy0, ix1], A[iy1, ix1], A[iy1, ix0])
-
-    V = jnp.stack(corners(Z) + corners(DX) + corners(DY) + corners(DXY))  # (16, ...)
+    # All 16 corner reads are one batched gather: corner (a, b) of image A
+    # equals the edge-padded shift A[r+a, c+b] at the clamped base index —
+    # identical to clipping each corner separately.
+    # order per image: 00=(fx,fy), 10=(cx,fy), 11=(cx,cy), 01=(fx,cy)
+    corner_shifts = ((0, 0), (0, 1), (1, 1), (1, 0))
+    planes = jnp.stack(
+        [
+            jnp.pad(A, ((0, 1), (0, 1)), mode="edge")[a : a + H, b : b + W]
+            for A in (Z, DX, DY, DXY)
+            for (a, b) in corner_shifts
+        ],
+        axis=-1,
+    )
+    taps = gather_planes(planes, iy0, ix0)  # (..., 16)
+    V = jnp.moveaxis(taps, -1, 0)  # (16, ...)
     # one MXU matmul solves the 16 polynomial coefficients for every pixel
     C = jnp.tensordot(jnp.asarray(W_BICUBIC, dtype=dtype), V, axes=1)
 

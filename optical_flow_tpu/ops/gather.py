@@ -1,0 +1,78 @@
+"""Batched image gathers for warping.
+
+TPU has no hardware gather: XLA lowers ``img[iy, ix]`` with per-pixel 2-D
+indices to a slow path (~2.3 ms per separate (388, 584) gather).  Every
+warp in this pipeline gathers K source planes at the SAME per-pixel
+indices (e.g. Hermite bicubic = 4 derivative images x 4 corner shifts), so
+the planes are stacked and fetched with ONE batched gather — ~20x faster
+than K separate gathers (1.8 ms for the 16-plane bicubic warp read).
+
+A note on the tempting "one-hot matmul" factorization
+    row:  A[i, j, k] = sum_r 1[iy[i,j] = r] * S[r, j, k]
+    col:  out[i,j,k] = sum_c 1[ix[i,j] = c] * A[i, c, k]
+— it is WRONG: composing the stages evaluates the row field at the
+gathered column (out = S[iy[i, ix[i,j]], ix[i,j]]).  No column-preserving
+intermediate of polynomial size exists for an entangled 2-D gather, so the
+exact batched-take formulation is used on every backend.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# 'take' | 'onehot' (the one-hot path is kept for experimentation only —
+# it is exact solely when one of the index fields is the identity)
+GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "take")
+
+
+def _impl() -> str:
+    return GATHER_IMPL
+
+
+def gather_planes(planes, iy, ix):
+    """``out[i, j, k] = planes[iy[i,j], ix[i,j], k]`` for in-range indices.
+
+    Args:
+        planes: (H_in, W_in, K) stack of source planes.
+        iy, ix: (H_out, W_out) int32 indices, already clamped in-range.
+    Returns:
+        (H_out, W_out, K).
+    """
+    if _impl() == "take":
+        return planes[iy, ix]
+
+    H_in, W_in, K = planes.shape
+    dtype = planes.dtype
+    # HIGHEST precision is required for exactness: the TPU's default f32
+    # matmul truncates operands to bf16, which would round every gathered
+    # value; with the multi-pass f32 path a one-hot contraction is exact.
+    prec = jax.lax.Precision.HIGHEST
+    onehot_y = (
+        iy[:, :, None] == jnp.arange(H_in, dtype=iy.dtype)[None, None, :]
+    ).astype(dtype)
+    # A[i, j, k] = sum_r onehot_y[i, j, r] * planes[r, j, k]
+    A = jnp.einsum(
+        "ijr,rjk->ijk", onehot_y, planes, precision=prec, preferred_element_type=dtype
+    )
+    onehot_x = (
+        ix[:, :, None] == jnp.arange(W_in, dtype=ix.dtype)[None, None, :]
+    ).astype(dtype)
+    return jnp.einsum(
+        "ijc,ick->ijk", onehot_x, A, precision=prec, preferred_element_type=dtype
+    )
+
+
+def gather_shifted_planes(padded, shifts, iy, ix):
+    """Gather ``len(shifts)`` static shifts of one padded image at (iy, ix).
+
+    ``padded`` is (H_in + max_dy, W_in + max_dx); shift (dy, dx) selects the
+    plane ``padded[dy : dy + H, dx : dx + W]``.  Returns (H_out, W_out, K).
+    """
+    H = padded.shape[0] - max(dy for dy, _ in shifts)
+    W = padded.shape[1] - max(dx for _, dx in shifts)
+    planes = jnp.stack(
+        [padded[dy : dy + H, dx : dx + W] for dy, dx in shifts], axis=-1
+    )
+    return gather_planes(planes, iy, ix)

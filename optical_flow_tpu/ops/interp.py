@@ -81,21 +81,31 @@ def sample_cubic_spline(coeffs, ys, xs):
     :func:`spline_coeffs_2d`).  Returns ``(values, oob)`` where ``oob``
     marks strictly-out-of-domain points (caller decides the fill value,
     matching map_coordinates' ``cval`` contract).
+
+    The 4x4 tap read is one 16-plane batched gather (one-hot MXU matmuls
+    on TPU — see ops/gather.py); tap weights come from the unclamped
+    fractional offsets, so interior results are exact.
     """
+    from optical_flow_tpu.ops.gather import gather_shifted_planes
+
     H, W = coeffs.shape
     padded = jnp.pad(coeffs, 2, mode="reflect")  # mirror extension, no edge dup
     fy = jnp.floor(ys)
     fx = jnp.floor(xs)
-    iy = fy.astype(jnp.int32)
-    ix = fx.astype(jnp.int32)
+    # clamped base indices (out-of-domain rows are masked by the caller)
+    iy = jnp.clip(fy, 0, H - 1).astype(jnp.int32)
+    ix = jnp.clip(fx, 0, W - 1).astype(jnp.int32)
+
+    offsets = (-1, 0, 1, 2)
+    shifts = [(dy + 2, dx + 2) for dy in offsets for dx in offsets]
+    taps = gather_shifted_planes(padded, shifts, iy, ix)  # (..., 16)
+
+    wy = [_bspline3(ys - (fy + dy)) for dy in offsets]
+    wx = [_bspline3(xs - (fx + dx)) for dx in offsets]
     out = jnp.zeros_like(ys)
-    for dy in (-1, 0, 1, 2):
-        wy = _bspline3(ys - (fy + dy))
-        ny = jnp.clip(iy + dy + 2, 0, H + 3)
-        for dx in (-1, 0, 1, 2):
-            wx = _bspline3(xs - (fx + dx))
-            nx = jnp.clip(ix + dx + 2, 0, W + 3)
-            out = out + wy * wx * padded[ny, nx]
+    for a, dy in enumerate(offsets):
+        for b, dx in enumerate(offsets):
+            out = out + wy[a] * wx[b] * taps[..., a * 4 + b]
     oob = (ys < 0) | (ys > H - 1) | (xs < 0) | (xs > W - 1)
     return out, oob
 
@@ -108,19 +118,20 @@ def sample_bilinear(im, ys, xs, mode: str = "nearest"):
     detection and flow resampling).  ``mode='constant'`` additionally
     returns an ``oob`` mask for strictly-outside points.
     """
+    from optical_flow_tpu.ops.gather import gather_shifted_planes
+
     H, W = im.shape
     ysc = jnp.clip(ys, 0.0, H - 1.0)
     xsc = jnp.clip(xs, 0.0, W - 1.0)
-    y0 = jnp.floor(ysc).astype(jnp.int32)
-    x0 = jnp.floor(xsc).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    ay = ysc - y0
-    ax = xsc - x0
-    v00 = im[y0, x0]
-    v01 = im[y0, x1]
-    v10 = im[y1, x0]
-    v11 = im[y1, x1]
+    y0f = jnp.floor(ysc)
+    x0f = jnp.floor(xsc)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+    ay = ysc - y0f
+    ax = xsc - x0f
+    padded = jnp.pad(im, ((0, 1), (0, 1)), mode="edge")
+    taps = gather_shifted_planes(padded, [(0, 0), (0, 1), (1, 0), (1, 1)], y0, x0)
+    v00, v01, v10, v11 = (taps[..., k] for k in range(4))
     top = v00 * (1.0 - ax) + v01 * ax
     bot = v10 * (1.0 - ax) + v11 * ax
     val = top * (1.0 - ay) + bot * ay

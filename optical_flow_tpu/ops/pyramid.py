@@ -83,3 +83,12 @@ def build_pyramid(images, levels: int, spacing: float):
         current = _pyramid_step(current, float(spacing), shapes[lvl])
         pyramid.append(current)
     return pyramid
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def pyramid_pair(images, levels: int, spacing: float, gnc_levels: int, gnc_spacing: float):
+    """Both pyramid ladders (main + GNC) of an image in ONE device program."""
+    return (
+        tuple(build_pyramid(images, levels, spacing)),
+        tuple(build_pyramid(images, gnc_levels, gnc_spacing)),
+    )
