@@ -222,7 +222,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
         uvhat = uv
 
-        if self.fuse and not self.display and gt is None:
+        if self.fuse and not self.display and gt is None and self.checkpoint is None:
             from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
 
             self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
@@ -283,6 +283,8 @@ class AltBAOpticalFlow(BAOpticalFlow):
                     jnp.asarray(qterm),
                     jnp.asarray(replacement),
                 )
+                if self.checkpoint is not None:
+                    self.checkpoint(ignc, level, uv)
 
             if self.gnc_iters > 1:
                 new_alpha = 1.0 - (ignc + 1) / (self.gnc_iters - 1)

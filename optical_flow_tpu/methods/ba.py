@@ -19,14 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.methods.base import BaseOpticalFlow, jit_scale255
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _jit_highpass(images, alp):
-    """The 'fc' Gaussian high-pass prefilter alternative (``ba.py:77-82``)."""
-    f = fspecial_gaussian(5, 1.5)
-    hp = images - alp * correlate2d_multi(images, f, "reflect")
-    return scale_image(hp, 0, 255)
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.filters import correlate2d_multi, median_filter2d
 from optical_flow_tpu.ops.penalties import Robust
@@ -129,6 +121,12 @@ def _preprocess_traced(kind: str, images, alp: float):
         hp = images - alp * correlate2d_multi(images, f, "reflect")
         return scale_image(hp, 0, 255)
     return scale_image(images, 0, 255)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _jit_highpass(images, alp):
+    """The 'fc' Gaussian high-pass prefilter alternative (``ba.py:77-82``)."""
+    return _preprocess_traced("fc", images, alp)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -286,7 +284,8 @@ class BAOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if self.fuse and not self.display and type(self) is BAOpticalFlow:
+        if (self.fuse and not self.display and self.checkpoint is None
+                and type(self) is BAOpticalFlow):
             return ba_flow_program(self._make_plan(sz), images, uv)
 
         if self.auto_level:
@@ -319,6 +318,8 @@ class BAOpticalFlow(BaseOpticalFlow):
                 uv = ba_level_resampled(
                     cfg, current[level], uv, jnp.asarray(alpha, self.dtype)
                 )
+                if self.checkpoint is not None:
+                    self.checkpoint(ignc, level, uv)
 
             if self.gnc_iters > 1:
                 new_alpha = 1.0 - (ignc + 1) / (self.gnc_iters - 1)

@@ -74,6 +74,11 @@ class BaseOpticalFlow:
         # numeric precision of the compute path (tests may use float64 on CPU)
         self.dtype = jnp.float32
 
+        # optional callable(stage, level, uv) invoked after every pyramid
+        # level — see utils/checkpoint.FlowCheckpointer.  Forces the
+        # per-level execution path (incompatible with whole-flow fusion).
+        self.checkpoint = None
+
         # Fuse the whole coarse-to-fine flow into ONE jitted program
         # (hs_flow_program / ba_flow_program / ...).  Kills host<->device
         # dispatch latency, but XLA currently allocates each level loop's

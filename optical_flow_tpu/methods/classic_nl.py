@@ -215,7 +215,8 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             if int(np.prod(color.shape[:2])) < sz[0] * sz[1]:
                 color = None
 
-        if self.fuse and not self.display and gt is None and type(self) is ClassicNLOpticalFlow:
+        if (self.fuse and not self.display and gt is None
+                and self.checkpoint is None and type(self) is ClassicNLOpticalFlow):
             from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
 
             if self.auto_level:
@@ -301,6 +302,8 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                 uv = classic_nl_level_resampled(
                     cfg, cur[level], color_level, uv, jnp.asarray(alpha, self.dtype)
                 )
+                if self.checkpoint is not None:
+                    self.checkpoint(ignc, level, uv)
 
             if self.gnc_iters > 1:
                 new_alpha = 1.0 - (ignc + 1) / (self.gnc_iters - 1)

@@ -192,7 +192,7 @@ class HSOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if self.fuse and not self.display:
+        if self.fuse and not self.display and self.checkpoint is None:
             from optical_flow_tpu.ops.pyramid import pyramid_shapes
 
             self.pyramid_levels = self._auto_pyramid_levels(images)
@@ -219,6 +219,8 @@ class HSOpticalFlow(BaseOpticalFlow):
             if self.display:
                 print(f"Pyramid level: {level + 1}")
             uv = hs_level_resampled(cfg, pyramid[level], uv)
+            if self.checkpoint is not None:
+                self.checkpoint(0, level, uv)
 
         if self.median_filter_size is not None:
             mfs = self.median_filter_size

@@ -1,0 +1,133 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Covers mesh construction, halo exchange, the distributed matrix-free CG
+(vs the exact dense solve), batched data-parallel estimation, and the
+driver entry points.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optical_flow_tpu.ops.derivatives import partial_deriv
+from optical_flow_tpu.ops.penalties import Robust
+from optical_flow_tpu.ops.stencil import build_irls_system
+from optical_flow_tpu.parallel.mesh import flow_mesh, BATCH_AXIS, SPACE_AXIS
+from optical_flow_tpu.solvers.direct import dense_solve
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _system(rng, h, w):
+    images = np.stack([rng.uniform(0, 255, (h, w)), rng.uniform(0, 255, (h, w))], 2)
+    uv = 0.3 * rng.standard_normal((h, w, 2))
+    duv = 0.1 * rng.standard_normal((h, w, 2))
+    It, Ix, Iy = partial_deriv(images, uv, "cubic")
+    rho = Robust("charbonnier", (0.1,))
+    return build_irls_system(
+        uv, duv, np.asarray(It), np.asarray(Ix), np.asarray(Iy),
+        (rho, rho), (rho, rho), rho, 2.5,
+    )
+
+
+@needs_8
+def test_mesh_construction():
+    mesh = flow_mesh(batch=2, space=4)
+    assert mesh.shape[BATCH_AXIS] == 2 and mesh.shape[SPACE_AXIS] == 4
+    with pytest.raises(ValueError):
+        flow_mesh(batch=3, space=4)
+
+
+@needs_8
+def test_halo_exchange_rows():
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from optical_flow_tpu.parallel.halo import halo_exchange_rows
+
+    mesh = flow_mesh(batch=1, space=8)
+    x = jnp.arange(64.0 * 4).reshape(64, 4)
+
+    fn = shard_map(
+        partial(halo_exchange_rows, radius=2, axis_name=SPACE_AXIS),
+        mesh=mesh,
+        in_specs=P(SPACE_AXIS),
+        out_specs=P(SPACE_AXIS),
+    )
+    out = np.asarray(fn(x))  # (64 + 8*4, 4): each shard contributes 8+4 rows
+    x_np = np.asarray(x)
+    # shard 1 holds rows 8..16; its halo block must be rows 6..18
+    block = out[12 * 1 : 12 * 2]
+    np.testing.assert_array_equal(block, x_np[6:18])
+    # global top halo is zeros
+    np.testing.assert_array_equal(out[:2], 0.0)
+
+
+@needs_8
+def test_distributed_cg_matches_dense(rng):
+    from optical_flow_tpu.parallel.dist import solve_flow_system_sharded
+
+    sys = _system(rng, 32, 24)
+    x_exact = dense_solve(sys)
+    mesh = flow_mesh(batch=1, space=8)
+    x_dist = np.asarray(solve_flow_system_sharded(sys, mesh, rtol=1e-12, maxiter=4000))
+    np.testing.assert_allclose(x_dist, x_exact, atol=1e-8)
+
+
+@needs_8
+def test_batched_estimation_hs():
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched
+
+    rng = np.random.default_rng(3)
+    B, H, W = 8, 40, 48
+    im1 = rng.uniform(0, 255, (B, H, W))
+    im2 = np.roll(im1, 1, axis=2)
+    batch = np.stack([im1, im2], axis=-1)
+    mesh = flow_mesh(batch=8, space=1)
+    uv = np.asarray(estimate_flow_batched(batch, "hs-brightness", mesh=mesh))
+    assert uv.shape == (B, H, W, 2)
+    np.testing.assert_allclose(uv[:, 8:-8, 8:-8, 0].mean(axis=(1, 2)), 1.0, atol=0.05)
+
+
+@needs_8
+def test_batched_matches_single(synthetic_pair):
+    """DP over identical pairs must reproduce the single-pair result."""
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched
+    from optical_flow_tpu.config import load_of_method
+
+    im1, im2 = synthetic_pair
+    images = jnp.asarray(np.stack([im1, im2], axis=-1), jnp.float32)
+    batch = jnp.broadcast_to(images, (4, *images.shape))
+
+    mesh = flow_mesh(batch=4, space=2)
+    uv_b = np.asarray(estimate_flow_batched(batch, "classic-c-brightness", mesh=mesh))
+
+    ope = load_of_method("classic-c-brightness")
+    ope.images = images
+    uv_s = np.asarray(ope.compute_flow())
+    # batch items must agree with each other exactly; vs the single-pair
+    # run, vmapped CG reductions associate differently, so tolerance-based
+    np.testing.assert_array_equal(uv_b[0], uv_b[3])
+    for b in range(4):
+        np.testing.assert_allclose(uv_b[b], uv_s, atol=1e-2)
+        assert np.abs(uv_b[b] - uv_s).mean() < 1e-4
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 64, 2)
+    assert bool(jnp.isfinite(out).all())
+
+
+@needs_8
+@pytest.mark.parametrize("n", [2, 8])
+def test_graft_dryrun_multichip(n):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(n)
