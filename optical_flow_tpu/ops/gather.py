@@ -7,13 +7,19 @@ indices (e.g. Hermite bicubic = 4 derivative images x 4 corner shifts), so
 the planes are stacked and fetched with ONE batched gather — ~20x faster
 than K separate gathers (1.8 ms for the 16-plane bicubic warp read).
 
-A note on the tempting "one-hot matmul" factorization
-    row:  A[i, j, k] = sum_r 1[iy[i,j] = r] * S[r, j, k]
-    col:  out[i,j,k] = sum_c 1[ix[i,j] = c] * A[i, c, k]
-— it is WRONG: composing the stages evaluates the row field at the
-gathered column (out = S[iy[i, ix[i,j]], ix[i,j]]).  No column-preserving
-intermediate of polynomial size exists for an entangled 2-D gather, so the
-exact batched-take formulation is used on every backend.
+Two notes from hard-won experiments on the v5e/axon stack:
+
+* The tempting "one-hot matmul" factorization
+      row:  A[i, j, k] = sum_r 1[iy[i,j] = r] * S[r, j, k]
+      col:  out[i,j,k] = sum_c 1[ix[i,j] = c] * A[i, c, k]
+  is WRONG: composing the stages evaluates the row field at the gathered
+  column (out = S[iy[i, ix[i,j]], ix[i,j]]).  No column-preserving
+  intermediate of polynomial size exists for an entangled 2-D gather.
+* A single batched gather of the stacked (H, W, K) planes (slice size
+  (1, 1, K)) crashes/hangs the TPU worker on this stack ("kernel fault"),
+  while K independent (H, W) gathers compile and run reliably.  The
+  default is therefore the per-plane loop; 'batched' is kept behind a
+  flag for stacks where it is healthy.
 """
 from __future__ import annotations
 
@@ -22,9 +28,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'take' | 'onehot' (the one-hot path is kept for experimentation only —
+# 'perplane' | 'batched' | 'onehot' (onehot kept for experimentation only —
 # it is exact solely when one of the index fields is the identity)
-GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "take")
+GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "perplane")
 
 
 def _impl() -> str:
@@ -40,7 +46,11 @@ def gather_planes(planes, iy, ix):
     Returns:
         (H_out, W_out, K).
     """
-    if _impl() == "take":
+    impl = _impl()
+    if impl == "perplane":
+        K = planes.shape[2]
+        return jnp.stack([planes[:, :, k][iy, ix] for k in range(K)], axis=-1)
+    if impl == "batched":
         return planes[iy, ix]
 
     H_in, W_in, K = planes.shape
