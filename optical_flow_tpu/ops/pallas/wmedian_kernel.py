@@ -5,25 +5,26 @@ in HBM and key-value sorts them — ~200 MB of temporaries per call and a
 bitonic sort over the patch axis.  This kernel computes the identical
 weighted median with O(tile) VMEM and no sort:
 
-* float32 values are encoded into *order-isomorphic* uint32 keys
-  (sign-magnitude flip), so the weighted median becomes: the smallest key
-  ``m`` with  S(m) = sum of weights of keys <= m  >=  total/2.
+* float32 values are encoded into *order-isomorphic* signed int32 keys
+  (sign-magnitude flip; TPU vectors have no unsigned min/max), so the
+  weighted median becomes: the smallest key ``m`` with
+  S(m) = sum of weights of keys <= m  >=  total/2.
 * 32 rounds of integer bisection over the key space find ``m`` exactly —
   the invariant S(lo) < total/2 <= S(hi) contracts to adjacent integers,
   and since S only jumps at present keys, ``hi`` lands exactly on a
   sample.  This reproduces the reference's sort+cumsum+searchsorted
   selection (``weighted_median.py:5-21``) without ordering any data.
 * The grid tiles the image (8 rows x 256 cols per program).  Each program
-  loads an aligned (32, 384) window of every input once, carves the 225
-  patch offsets out with *static* value slices (TPU alignment rules allow
-  arbitrary static offsets; dynamic offsets must be tile-aligned), and
-  keeps the (8, 225, 256) weight/key stacks in VMEM scratch.  Every
-  bisection step is one fused VPU pass over the stacks; HBM sees each
-  input pixel once.
+  DMAs its (32, 384) input windows from HBM into VMEM scratch, carves the
+  225 patch offsets out with *static* value slices (TPU alignment rules:
+  static offsets are free, dynamic offsets must be tile-aligned), and
+  keeps the (8, 225, 256) weight/key stacks in VMEM.  Every bisection
+  step is one fused VPU pass over the stacks; HBM sees each input pixel
+  ~once per overlapping window.
 
-Mirror padding and the (H, W) crop are handled by the wrapper.  Larger
-windows than area_hsz=7 (patch > 15x15) fall back to the XLA path by the
-``wmedian_pallas_ok`` guard.
+Because inputs stay in HBM and only windows are DMA'd, the kernel scales
+to arbitrary image sizes (4K included).  Mirror padding and the (H, W)
+crop are handled by the wrapper.
 """
 from __future__ import annotations
 
@@ -40,7 +41,6 @@ TILE_W = 256
 _ROW_WINDOW = 32  # >= TILE_H + 2*hsz for hsz <= 12, 8-aligned
 _COL_WINDOW = 384  # >= TILE_W + 2*hsz, 128-aligned
 
-
 _SIGN = np.int32(np.uint32(0x80000000).view(np.int32))  # int32 min
 
 
@@ -48,7 +48,7 @@ def _encode_f32(x):
     """Order-isomorphic SIGNED int32 key of a float32 value.
 
     x >= 0 -> raw bits; x < 0 -> ~bits ^ 0x80000000.  Signed integer order
-    then matches float order (TPU vector units have no unsigned min/max).
+    then matches float order.
     """
     b = jax.lax.bitcast_convert_type(x, jnp.int32)
     return jnp.where(b < 0, jnp.invert(b) ^ _SIGN, b)
@@ -66,13 +66,18 @@ def _midpoint(lo, hi):
 
 
 def _wmedian_kernel(
-    u_ref,
-    v_ref,
-    occ_ref,
-    color_ref,
+    u_hbm,
+    v_hbm,
+    occ_hbm,
+    color_hbm,
     out_ref,
+    u_win,
+    v_win,
+    occ_win,
+    color_win,
     w_s,
     k_s,
+    copy_sem,
     *,
     hsz: int,
     n_chan: int,
@@ -85,17 +90,30 @@ def _wmedian_kernel(
     r0 = pl.multiple_of(i * TILE_H, TILE_H)
     c0 = pl.multiple_of(j * TILE_W, 128)
 
-    def window(ref):
-        """Aligned (ROW_WINDOW, COL_WINDOW) input window as a value."""
-        return ref[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)]
-
-    Bu = window(u_ref)
-    Bv = window(v_ref)
-    Bo = window(occ_ref)
-    Bc = [
-        color_ref[c, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)]
-        for c in range(n_chan)
+    # DMA this program's input windows from HBM into VMEM
+    copies = [
+        pltpu.make_async_copy(
+            u_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], u_win, copy_sem.at[0]
+        ),
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], v_win, copy_sem.at[1]
+        ),
+        pltpu.make_async_copy(
+            occ_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], occ_win, copy_sem.at[2]
+        ),
+        pltpu.make_async_copy(
+            color_hbm.at[:, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)],
+            color_win,
+            copy_sem.at[3],
+        ),
     ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    Bo = occ_win[:]
+    Bc = [color_win[c] for c in range(n_chan)]
     centers = [B[hsz : hsz + TILE_H, hsz : hsz + TILE_W] for B in Bc]
 
     # ---- weights: one static slice chain per patch offset -----------------
@@ -136,8 +154,8 @@ def _wmedian_kernel(
         lo, hi = jax.lax.fori_loop(0, 32, bisect, (lo, hi))
         out_ref[:, :, out_channel] = _decode_i32(hi)
 
-    field_median(Bu, 0)
-    field_median(Bv, 1)
+    field_median(u_win[:], 0)
+    field_median(v_win[:], 1)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -185,18 +203,23 @@ def wmedian_pallas(
         inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
     )
     K2 = (2 * hsz + 1) ** 2
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
         kernel,
         grid=(n_row, n_col),
         out_shape=jax.ShapeDtypeStruct((n_row * TILE_H, n_col * TILE_W, 2), jnp.float32),
-        in_specs=[full(), full(), full(), full()],
+        in_specs=[hbm(), hbm(), hbm(), hbm()],
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # u window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # v window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # occ window
+            pltpu.VMEM((C, _ROW_WINDOW, _COL_WINDOW), jnp.float32),  # color window
             pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
             pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(u_pad, v_pad, occ_pad, color_pad_cmajor)
@@ -207,11 +230,7 @@ def wmedian_pallas_ok(H, W, hsz, C, budget_bytes: int = 13 * 1024 * 1024) -> boo
     """True when the kernel's static window/scratch configuration applies."""
     if TILE_H + 2 * hsz > _ROW_WINDOW or TILE_W + 2 * hsz > _COL_WINDOW:
         return False
-    n_col = -(-W // TILE_W)
-    Hp = (-(-H // TILE_H)) * TILE_H + (_ROW_WINDOW - TILE_H)
-    Wp = (n_col - 1) * TILE_W + _COL_WINDOW
-    lanes = -(-Wp // 128) * 128
-    inputs = Hp * lanes * (3 + C) * 4
     K2 = (2 * hsz + 1) ** 2
+    windows = (3 + C) * _ROW_WINDOW * _COL_WINDOW * 4
     scratch = 2 * TILE_H * K2 * TILE_W * 4
-    return inputs + scratch <= budget_bytes
+    return windows + scratch <= budget_bytes

@@ -67,5 +67,5 @@ def test_wmedian_kernel_duplicate_values(rng):
 
 def test_wmedian_guard():
     assert wmedian_pallas_ok(388, 584, 7, 3)
-    assert not wmedian_pallas_ok(2160, 3840, 7, 3)  # 4K: falls back to XLA
+    assert wmedian_pallas_ok(2160, 3840, 7, 3)  # 4K: DMA windows scale to any size
     assert not wmedian_pallas_ok(100, 100, 15, 3)  # window exceeds static config
