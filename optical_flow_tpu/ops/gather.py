@@ -28,13 +28,24 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'perplane' | 'batched' | 'onehot' (onehot kept for experimentation only —
-# it is exact solely when one of the index fields is the identity)
+# 'auto' | 'displaced' | 'perplane' | 'batched' | 'onehot'
+# (onehot kept for experimentation only — it is exact solely when one of
+# the index fields is the identity).  'auto' == 'perplane' today: the
+# displacement-tiered shift sweep ('displaced') is exact and VPU-fast at
+# runtime but its (2D+1)^2 unrolled views compile pathologically slowly on
+# the current remote-compile stack; revisit when compiles are cached.
 GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "perplane")
 
 
-def _impl() -> str:
-    return GATHER_IMPL
+def _impl(shapes_match: bool) -> str:
+    impl = GATHER_IMPL
+    if impl == "auto":
+        if shapes_match and jax.default_backend() == "tpu":
+            return "displaced"
+        return "perplane"
+    if impl == "displaced" and not shapes_match:
+        return "perplane"
+    return impl
 
 
 def gather_planes(planes, iy, ix):
@@ -46,7 +57,9 @@ def gather_planes(planes, iy, ix):
     Returns:
         (H_out, W_out, K).
     """
-    impl = _impl()
+    impl = _impl(iy.shape == planes.shape[:2])
+    if impl == "displaced":
+        return gather_displaced(planes, iy, ix)
     if impl == "perplane":
         K = planes.shape[2]
         return jnp.stack([planes[:, :, k][iy, ix] for k in range(K)], axis=-1)
@@ -72,6 +85,66 @@ def gather_planes(planes, iy, ix):
     return jnp.einsum(
         "ijc,ick->ijk", onehot_x, A, precision=prec, preferred_element_type=dtype
     )
+
+
+# Single sweep tier: (2D+1)^2 unrolled shifted views per tier makes both
+# compile time and code size quadratic in D, so one moderate tier + the
+# gather fallback is the sweet spot.
+_SWEEP_TIERS = (5,)
+_MAX_TIER = _SWEEP_TIERS[-1]
+
+
+def gather_displaced(planes, iy, ix):
+    """Exact gather specialized for displacement fields (warps).
+
+    ``out[i,j,k] = planes[iy[i,j], ix[i,j], k]`` where (iy, ix) deviate from
+    the identity grid by a *bounded* displacement most of the time (optical
+    flow magnitudes).  When the runtime max displacement D fits a static
+    tier, the gather becomes a (2D+1)^2 sweep of masked shifted views — an
+    all-VPU pass over all K planes at once, ~an order of magnitude faster
+    than per-element gathers.  Larger displacements fall back to the
+    per-plane gather.  Selection happens on-device via ``lax.cond``, so a
+    single compiled program serves any motion magnitude.
+
+    Requires ``iy.shape == ix.shape == planes.shape[:2]`` and indices
+    already clamped in-range.
+    """
+    H, W, K = planes.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    di = iy - ii
+    dj = ix - jj
+    D = jnp.maximum(jnp.max(jnp.abs(di)), jnp.max(jnp.abs(dj)))
+
+    P = jnp.pad(planes, ((_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0)))
+
+    def sweep(DT: int):
+        def run():
+            code = (di + DT) * (2 * DT + 1) + (dj + DT)
+            acc = jnp.zeros_like(planes)
+            idx = 0
+            for dy in range(-DT, DT + 1):
+                for dx in range(-DT, DT + 1):
+                    view = P[
+                        _MAX_TIER + dy : _MAX_TIER + dy + H,
+                        _MAX_TIER + dx : _MAX_TIER + dx + W,
+                        :,
+                    ]
+                    acc = acc + jnp.where((code == idx)[:, :, None], view, 0.0)
+                    idx += 1
+            return acc
+
+        return run
+
+    def fallback():
+        return jnp.stack([planes[:, :, k][iy, ix] for k in range(K)], axis=-1)
+
+    result = fallback
+    for tier in reversed(_SWEEP_TIERS):
+        result = (lambda t, rest: lambda: jax.lax.cond(D <= t, sweep(t), rest))(
+            tier, result
+        )
+    return result()
 
 
 def gather_shifted_planes(padded, shifts, iy, ix):
