@@ -260,3 +260,26 @@ def partial_deriv(images, uv, interp_method: str = "cubic", deriv_filter=None, b
     """Reference-compatible one-shot API (``derivatives.py:148-296``)."""
     pre = precompute_warp(images, interp_method, deriv_filter, blend)
     return warp_deriv(pre, uv)
+
+
+def interp2_bicubic(Z, XI, YI, deriv_filter=None):
+    """Hermite bicubic interpolation with analytical derivatives.
+
+    Reference-compatible surface (``derivatives.py:27-145``): 1-based
+    coordinates, returns (ZI, ZXI, ZYI) with out-of-boundary ZI marked NaN.
+    """
+    if deriv_filter is None:
+        deriv_filter = DEFAULT_DERIV_FILTER
+    f = np.asarray(deriv_filter, dtype=np.float64)
+    Z = jnp.asarray(Z)
+    XI = jnp.asarray(XI)
+    YI = jnp.asarray(YI)
+    tables = (
+        Z,
+        correlate2d(Z, f.reshape(1, -1), "reflect"),
+        correlate2d(Z, f.reshape(-1, 1), "reflect"),
+        correlate2d(Z, np.outer(f, f), "reflect"),
+    )
+    val, vx, vy, oob = _hermite_bicubic(tables, YI - 1.0, XI - 1.0, Z.dtype)
+    val = jnp.where(oob, jnp.nan, val)
+    return val, vx, vy

@@ -171,6 +171,18 @@ PENALTIES = {
 UNIMPLEMENTED_PENALTIES = ("mixture", "spline_penalty")
 
 
+def mixture(x, sigma, d_type):
+    """Mixture penalty — unimplemented, matching the reference surface."""
+    raise NotImplementedError(
+        "Mixture penalty is not yet implemented (matches reference)."
+    )
+
+
+def spline_penalty(x, sigma, d_type):
+    """Spline penalty — unimplemented, matching the reference surface."""
+    raise NotImplementedError("Spline penalty is not yet implemented.")
+
+
 @dataclasses.dataclass(frozen=True)
 class Robust:
     """Frozen descriptor of a robust penalty: (name, params).
