@@ -119,20 +119,23 @@ def gather_displaced(planes, iy, ix):
     P = jnp.pad(planes, ((_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0)))
 
     def sweep(DT: int):
+        # fori_loop over the (2DT+1)^2 offsets: the body (one dynamic slice
+        # + masked accumulate) compiles ONCE — an unrolled version runs
+        # marginally faster but costs ~2s of compile per shifted view on
+        # the remote AOT compiler.
+        n = 2 * DT + 1
+        base = _MAX_TIER - DT
+
         def run():
-            code = (di + DT) * (2 * DT + 1) + (dj + DT)
-            acc = jnp.zeros_like(planes)
-            idx = 0
-            for dy in range(-DT, DT + 1):
-                for dx in range(-DT, DT + 1):
-                    view = P[
-                        _MAX_TIER + dy : _MAX_TIER + dy + H,
-                        _MAX_TIER + dx : _MAX_TIER + dx + W,
-                        :,
-                    ]
-                    acc = acc + jnp.where((code == idx)[:, :, None], view, 0.0)
-                    idx += 1
-            return acc
+            code = (di + DT) * n + (dj + DT)
+
+            def body(o, acc):
+                dy = o // n
+                dx = o % n
+                view = jax.lax.dynamic_slice(P, (base + dy, base + dx, 0), (H, W, K))
+                return acc + jnp.where((code == o)[:, :, None], view, 0.0)
+
+            return jax.lax.fori_loop(0, n * n, body, jnp.zeros_like(planes))
 
         return run
 
