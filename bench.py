@@ -47,7 +47,10 @@ def main():
 
     log("devices:", jax.devices())
     im1, im2, tu, tv = read_flow_file("RubberWhale", 10)
-    params = {"display": False}
+    # 'pcg' is the reference's own iterative solver mode (base.py:116-136,
+    # rtol 1e-3 / maxiter 200); accuracy is identical to the tight-CG
+    # 'backslash' mapping here (AAE 2.500 both) and ~9% faster.
+    params = {"display": False, "solver": "pcg"}
 
     # warmup: compile every level program
     t0 = time.time()
