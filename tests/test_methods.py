@@ -127,3 +127,33 @@ def test_solver_variants(synthetic_pair):
         ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
         uv = np.asarray(ope.compute_flow())
         assert uv[8:-8, 8:-8, 0].mean() == pytest.approx(1.0, abs=0.1), solver
+
+
+ALL_PRESETS = [
+    "classic+nl-fast",
+    "classic+nl",
+    "classic+nl-full",
+    "hs",
+    "hs-brightness",
+    "ba",
+    "classic-l",
+    "ba-brightness",
+    "classic-c",
+    "classic-c-brightness",
+    "classic++",
+    "classic-c-a",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ALL_PRESETS)
+def test_every_preset_end_to_end(rubberwhale, method):
+    """Every named preset must run end-to-end on a real image crop."""
+    im1, im2, _, _ = rubberwhale
+    crop1 = im1[100:164, 150:222]
+    crop2 = im2[100:164, 150:222]
+    uv = np.asarray(
+        estimate_flow(crop1, crop2, method, params={"display": False})
+    )
+    assert uv.shape == (64, 72, 2)
+    assert np.isfinite(uv).all()
