@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.methods.ba import BAOpticalFlow, IRLSLevelConfig, irls_prepare
-from optical_flow_tpu.methods.base import jit_scale255
 from optical_flow_tpu.ops.denoise import denoise_LO
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.penalties import Robust

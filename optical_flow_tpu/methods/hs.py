@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optical_flow_tpu.methods.base import BaseOpticalFlow, jit_median_pair, jit_scale255
+from optical_flow_tpu.methods.base import BaseOpticalFlow, jit_median_pair
 from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
 from optical_flow_tpu.ops.filters import median_filter2d
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof

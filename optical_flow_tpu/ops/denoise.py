@@ -5,7 +5,6 @@ Reference: ``utils/denoising.py:6-30``.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from optical_flow_tpu.ops.filters import median_filter2d
 

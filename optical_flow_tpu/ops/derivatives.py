@@ -24,7 +24,7 @@ NaNs ever materialize on-device.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp

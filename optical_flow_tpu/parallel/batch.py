@@ -12,8 +12,6 @@ CG, weighted median — without modification.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,6 @@ from optical_flow_tpu.config import load_of_method
 from optical_flow_tpu.methods.classic_nl import ClassicNLOpticalFlow, classic_nl_level_step
 from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_level_step
 from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_level_step
-from optical_flow_tpu.ops.pyramid import build_pyramid
 from optical_flow_tpu.ops.resample import resample_flow
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
 from optical_flow_tpu.utils.compat import scale_image
@@ -73,9 +70,7 @@ def estimate_flow_batched(images_batch, method: str = "hs-brightness", mesh=None
     if ope.auto_level:
         ope.pyramid_levels = ope._auto_pyramid_levels(proc[0])
 
-    vpyr = lambda im, levels, spacing: build_pyramid(im, levels, spacing)
-    # pyramid ops are matmuls/stencils — vmap directly
-    pyr = [proc]
+    # pyramid ops are matmuls/stencils — vmap them directly
     from optical_flow_tpu.ops.pyramid import pyramid_filter, pyramid_shapes
     from optical_flow_tpu.ops.filters import correlate2d_multi
     from optical_flow_tpu.ops.interp import matlab_imresize_bilinear

@@ -9,7 +9,7 @@ compilation of a distinct program.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
