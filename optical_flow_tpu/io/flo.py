@@ -13,8 +13,47 @@ import numpy as np
 TAG_FLOAT = 202021.25
 
 
+def _native():
+    try:
+        from optical_flow_tpu.native.build import load_floio
+
+        return load_floio()
+    except Exception:
+        return None
+
+
 def read_flo(filename):
-    """Read a ``.flo`` file into an (H, W, 2) float32 array."""
+    """Read a ``.flo`` file into an (H, W, 2) float32 array.
+
+    Uses the native C reader (optical_flow_tpu/native/floio.c) when a
+    toolchain is available; pure-numpy otherwise.
+    """
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        path = str(filename).encode()
+        null_f = ctypes.POINTER(ctypes.c_float)()
+        rc = lib.flo_read(path, ctypes.byref(w), ctypes.byref(h), null_f, 0)
+        if rc == -1:
+            raise FileNotFoundError(filename)
+        if rc == -2:
+            raise ValueError(f"Invalid .flo file tag (expected {TAG_FLOAT})")
+        if rc == 0:
+            out = np.empty((h.value, w.value, 2), dtype=np.float32)
+            rc = lib.flo_read(
+                path,
+                ctypes.byref(w),
+                ctypes.byref(h),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                out.size,
+            )
+            if rc == 0:
+                return out
+        # fall through to numpy on any unexpected rc
+
     with open(filename, "rb") as f:
         tag = np.fromfile(f, np.float32, count=1)[0]
         if tag != np.float32(TAG_FLOAT):
@@ -27,10 +66,22 @@ def read_flo(filename):
 
 def write_flo(flow, filename):
     """Write an (H, W, 2) flow field as ``.flo``."""
-    flow = np.asarray(flow, dtype=np.float32)
+    flow = np.ascontiguousarray(np.asarray(flow, dtype=np.float32))
     if flow.ndim != 3 or flow.shape[2] != 2:
         raise ValueError(f"Flow must be (H, W, 2) array, got shape {flow.shape}")
     h, w = flow.shape[:2]
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        rc = lib.flo_write(
+            str(filename).encode(),
+            w,
+            h,
+            flow.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc == 0:
+            return
     with open(filename, "wb") as f:
         np.array([TAG_FLOAT], dtype=np.float32).tofile(f)
         np.array([w, h], dtype=np.int32).tofile(f)
