@@ -56,7 +56,6 @@ def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, qterm, re
     """One pyramid level of Alt-BA (``alt_ba.py:189-274``)."""
     irls = cfg.irls
     pre = precompute_warp(images, irls.interp, np.array(irls.deriv_filter), irls.blend)
-    solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter = irls.solver
 
     # lambda2 annealing schedule: logspace 1e-4 -> lambda2 (alt_ba.py:209-212)
     lambda2s = np.logspace(np.log10(1e-4), np.log10(cfg.lambda2), irls.max_iters)
@@ -89,7 +88,7 @@ def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, qterm, re
                 b_u=sys.b_u + delta[:, :, 0], b_v=sys.b_v + delta[:, :, 1]
             )
 
-            x = solve_flow_system(sys, solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter)
+            x = solve_flow_system(sys, *irls.solver)
             if irls.limit_update:
                 x = jnp.clip(x, -1.0, 1.0)
             duv = x

@@ -64,8 +64,7 @@ def _blended_solve(cfg: IRLSLevelConfig, uv, duv, It, Ix, Iy, alpha):
         cfg.lambda_,
     )
     sys = blend_systems(alpha, sys_q, sys_r)
-    solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter = cfg.solver
-    x = solve_flow_system(sys, solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter)
+    x = solve_flow_system(sys, *cfg.solver)
     if cfg.limit_update:
         x = jnp.clip(x, -1.0, 1.0)
     return x

@@ -59,6 +59,8 @@ class BaseOpticalFlow:
         self.backslash_rtol = 1e-7
         self.backslash_maxiter = 1000
         self.sor_max_iters = 10000
+        self.sor_omega = 1.9
+        self.sor_tol = 1e-2
         self.interpolation_method = "cubic"
         self.deriv_filter = np.array(DEFAULT_DERIV_FILTER)
         self.blend = 0.5
@@ -143,6 +145,9 @@ class BaseOpticalFlow:
             int(self.pcg_maxiter),
             float(self.backslash_rtol),
             int(self.backslash_maxiter),
+            float(self.sor_omega),
+            int(self.sor_max_iters),
+            float(self.sor_tol),
         )
 
     def _as_dtype(self, x):

@@ -68,8 +68,6 @@ def hs_level_step(cfg: HSLevelConfig, images, uv):
     pre = precompute_warp(
         images, cfg.interp, np.array(cfg.deriv_filter), cfg.blend
     )
-    solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter = cfg.solver
-
     def median_pass(uv):
         if cfg.median_filter_size is None:
             return uv
@@ -91,9 +89,7 @@ def hs_level_step(cfg: HSLevelConfig, images, uv):
         k, uv, _ = state
         It, Ix, Iy = warp_deriv(pre, uv)
         sys = build_hs_system(uv, It, Ix, Iy, cfg.lambda_, cfg.sigmaD2, cfg.sigmaS2)
-        x = solve_flow_system(
-            sys, solver, pcg_rtol, pcg_maxiter, bs_rtol, bs_maxiter
-        )
+        x = solve_flow_system(sys, *cfg.solver)
         # early stop discards the sub-threshold update (hs.py:127)
         cont = jnp.linalg.norm(x.ravel()) >= 1e-3
         if cfg.limit_update:

@@ -30,11 +30,12 @@ import jax.numpy as jnp
 
 # 'auto' | 'displaced' | 'perplane' | 'batched' | 'onehot'
 # (onehot kept for experimentation only — it is exact solely when one of
-# the index fields is the identity).  'auto' == 'perplane' today: the
-# displacement-tiered shift sweep ('displaced') is exact and VPU-fast at
-# runtime but its (2D+1)^2 unrolled views compile pathologically slowly on
-# the current remote-compile stack; revisit when compiles are cached.
-GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "perplane")
+# the index fields is the identity).  'auto' picks the displacement-tiered
+# shift sweep ('displaced') on TPU: its fori-loop form compiles fine (one
+# dynamic-slice body, unlike the original unrolled views) and measured
+# 0.354 s/frame vs 0.756 s/frame for per-plane gathers on classic+nl-fast
+# @584x388, identical accuracy (see docs/DESIGN.md §4).
+GATHER_IMPL = os.environ.get("OFTPU_GATHER_IMPL", "auto")
 
 
 def _impl(shapes_match: bool) -> str:

@@ -79,9 +79,18 @@ def solve_flow_system(
     pcg_maxiter: int = 200,
     backslash_rtol: float = 1e-7,
     backslash_maxiter: int = 1000,
+    sor_omega: float = 1.9,
+    sor_max_iters: int = 10000,
+    sor_tol: float = 1e-2,
     x0=None,
 ):
-    """Solve a :class:`FlowSystem` for the (H, W, 2) update field."""
+    """Solve a :class:`FlowSystem` for the (H, W, 2) update field.
+
+    SOR defaults match the reference's (omega 1.9, 10000 iterations,
+    tol 1e-2 — ``base.py:138-172``); method objects thread their
+    ``sor_omega`` / ``sor_max_iters`` / ``sor_tol`` attributes through
+    ``BaseOpticalFlow._solver_cfg``.
+    """
     b = system_rhs(sys)
     diag = system_diag(sys)
     apply_A = lambda x: system_apply(sys, x)
@@ -92,5 +101,5 @@ def solve_flow_system(
     if solver == "sor":
         from optical_flow_tpu.solvers.sor import sor_solve
 
-        return sor_solve(sys, omega=1.9, max_iters=200, tol=1e-2)
+        return sor_solve(sys, omega=sor_omega, max_iters=sor_max_iters, tol=sor_tol)
     raise ValueError(f"Unknown solver: {solver}")

@@ -1,8 +1,14 @@
-"""Middlebury color coding for flow visualization.
+"""Middlebury flow color coding.
 
-Reference: ``viz/flow_color.py`` — 55-bin colorwheel (RY15, YG6, GC4, CB11,
-BM13, MR6), interpolated hue, radius-saturated, >1 radius dimmed by 0.75,
-unknown flow black.  Host-side numpy (visualization is not a device path).
+Implements the canonical Baker et al. "colorTest"/"computeColor" scheme
+(the published Middlebury flow-code spec, mirrored by the reference's
+``viz/flow_color.py``): a 55-bin piecewise-linear hue wheel
+(RY15 YG6 GC4 CB11 BM13 MR6), hue interpolated around the wheel from flow
+direction, saturation ramping with normalized radius, out-of-range radii
+dimmed by 0.75, sentinel (unknown) pixels black.
+
+Host-side numpy — visualization is not a device path.  Output is verified
+bit-equal to the reference in ``tests/test_io_metrics_viz.py``.
 """
 from __future__ import annotations
 
@@ -10,72 +16,68 @@ import numpy as np
 
 UNKNOWN_FLOW_THRESH = 1e9
 
+# The wheel walks the RGB hexagon R -> Y -> G -> C -> B -> M -> R; each
+# leg changes exactly one channel, quantized as floor(255 * i / bins).
+_HUE_VERTICES = np.array(
+    [
+        [255, 0, 0],  # R
+        [255, 255, 0],  # Y
+        [0, 255, 0],  # G
+        [0, 255, 255],  # C
+        [0, 0, 255],  # B
+        [255, 0, 255],  # M
+    ],
+    dtype=float,
+)
+_BINS_PER_LEG = (15, 6, 4, 11, 13, 6)  # RY YG GC CB BM MR
+
 
 def make_colorwheel() -> np.ndarray:
     """(55, 3) RGB colorwheel in [0, 255]."""
-    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
-    ncols = RY + YG + GC + CB + BM + MR
-    cw = np.zeros((ncols, 3))
-    col = 0
-    cw[col : col + RY, 0] = 255
-    cw[col : col + RY, 1] = np.floor(255 * np.arange(RY) / RY)
-    col += RY
-    cw[col : col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
-    cw[col : col + YG, 1] = 255
-    col += YG
-    cw[col : col + GC, 1] = 255
-    cw[col : col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
-    col += GC
-    cw[col : col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
-    cw[col : col + CB, 2] = 255
-    col += CB
-    cw[col : col + BM, 2] = 255
-    cw[col : col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
-    col += BM
-    cw[col : col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
-    cw[col : col + MR, 0] = 255
-    return cw
+    legs = []
+    for i, bins in enumerate(_BINS_PER_LEG):
+        start = _HUE_VERTICES[i]
+        stop = _HUE_VERTICES[(i + 1) % len(_HUE_VERTICES)]
+        ramp = np.floor(255.0 * np.arange(bins) / bins)
+        # (stop - start) / 255 is -1, 0, or +1 per channel
+        legs.append(start + np.outer(ramp, (stop - start) / 255.0))
+    return np.concatenate(legs, axis=0)
 
 
 def compute_color(u, v) -> np.ndarray:
-    """Color image (uint8) from normalized flow components."""
+    """uint8 color image from flow components pre-normalized to radius<=1."""
     u = np.asarray(u, dtype=float)
     v = np.asarray(v, dtype=float)
-    cw = make_colorwheel()
-    ncols = cw.shape[0]
+    wheel = make_colorwheel() / 255.0  # (N, 3) in [0, 1]
+    nbins = wheel.shape[0]
 
-    rad = np.sqrt(u**2 + v**2)
-    a = np.arctan2(-v, -u) / np.pi
-    fk = (a + 1) / 2.0 * (ncols - 1)
-    k0 = np.floor(fk).astype(int)
-    k1 = k0 + 1
-    k1[k1 == ncols] = 0
-    f = fk - k0
+    radius = np.sqrt(u**2 + v**2)[..., None]
+    # continuous wheel position in [0, nbins-1], wrapping at the seam
+    position = (np.arctan2(-v, -u) / np.pi + 1.0) / 2.0 * (nbins - 1)
+    lo = np.floor(position).astype(int)
+    hi = np.where(lo + 1 == nbins, 0, lo + 1)
+    frac = (position - lo)[..., None]
 
-    img = np.zeros((*u.shape, 3), dtype=np.uint8)
-    for i in range(3):
-        tmp = cw[k0, i] / 255.0 * (1 - f) + cw[k1, i] / 255.0 * f
-        tmp = 1 - rad * (1 - tmp)
-        tmp[rad > 1] = tmp[rad > 1] * 0.75
-        img[:, :, i] = np.floor(255 * np.clip(tmp, 0, 1)).astype(np.uint8)
-    return img
+    hue = wheel[lo] * (1 - frac) + wheel[hi] * frac  # (H, W, 3)
+    shade = 1.0 - radius * (1.0 - hue)  # desaturate toward white at r=0
+    shade = np.where(radius > 1.0, shade * 0.75, shade)  # out-of-range dimmed
+    return np.floor(255.0 * np.clip(shade, 0.0, 1.0)).astype(np.uint8)
 
 
 def flow_to_color(flow, max_flow=None) -> np.ndarray:
     """(H, W, 2) flow -> (H, W, 3) uint8 Middlebury color image."""
     flow = np.asarray(flow)
-    u = flow[:, :, 0].astype(float).copy()
-    v = flow[:, :, 1].astype(float).copy()
+    u = flow[:, :, 0].astype(float)
+    v = flow[:, :, 1].astype(float)
     unknown = (np.abs(u) > UNKNOWN_FLOW_THRESH) | (np.abs(v) > UNKNOWN_FLOW_THRESH)
 
     if max_flow is not None:
-        max_rad = max_flow
+        max_radius = max_flow
     else:
-        known = ~unknown
-        mag = np.sqrt(u[known] ** 2 + v[known] ** 2) if np.any(known) else np.array([0.0])
-        max_rad = mag.max() if mag.size else 1.0
-    max_rad = max(max_rad, 1e-8)
+        known_r = np.sqrt(u[~unknown] ** 2 + v[~unknown] ** 2)
+        max_radius = known_r.max() if known_r.size else 0.0
+    max_radius = max(max_radius, 1e-8)
 
-    img = compute_color(u / max_rad, v / max_rad)
+    img = compute_color(u / max_radius, v / max_radius)
     img[unknown] = 0
     return img

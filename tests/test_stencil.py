@@ -135,3 +135,32 @@ def test_sor_converges(rng):
     x_exact = dense_solve(sys)
     x_sor = np.asarray(sor_solve(sys, omega=1.9, max_iters=2000, tol=1e-10))
     np.testing.assert_allclose(x_sor, x_exact, rtol=1e-4, atol=1e-6)
+
+
+def test_sor_config_threaded_through_solver_cfg(rng):
+    """The method object's SOR knobs reach the solver (VERDICT r1 item 8)."""
+    from optical_flow_tpu.methods.hs import HSOpticalFlow
+
+    ope = HSOpticalFlow()
+    ope.solver = "sor"
+    ope.sor_omega = 1.5
+    ope.sor_max_iters = 7
+    ope.sor_tol = 1e-6
+    assert ope._solver_cfg()[5:] == (1.5, 7, 1e-6)
+
+    # and the knobs change the solve: few iterations must be visibly less
+    # converged than the reference default of 10000
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("quadratic", (1.0,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    x_exact = dense_solve(sys)
+    few = np.asarray(
+        solve_flow_system(sys, "sor", sor_omega=1.9, sor_max_iters=2, sor_tol=1e-12)
+    )
+    many = np.asarray(
+        solve_flow_system(sys, "sor", sor_omega=1.9, sor_max_iters=10000, sor_tol=1e-12)
+    )
+    err_few = np.abs(few - x_exact).max()
+    err_many = np.abs(many - x_exact).max()
+    assert err_many < 1e-5
+    assert err_few > 10 * err_many
