@@ -32,13 +32,18 @@ def _stack_gray_pair(im1, im2):
     return jnp.stack([im1, im2], axis=2)
 
 
-def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None):
+def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=None):
     """Estimate optical flow between two images.
 
     Args:
         im1, im2: (H, W) grayscale or (H, W, 3) RGB images (float or uint8).
         method: preset name (see :func:`load_of_method`).
         params: optional dict (or MATLAB-style k/v list) of overrides.
+        mesh: optional ``jax.sharding.Mesh`` with a ``'space'`` axis — image
+            rows are tiled over it and every feasible pyramid level runs as
+            one shard_map program with halo exchange + distributed PCG
+            (``parallel/spatial.py``).  ``params['spatial_halo']`` bounds the
+            per-level warp displacement handled exactly at shard boundaries.
 
     Returns:
         uv: (H, W, 2) flow; uv[..., 0] horizontal, uv[..., 1] vertical.
@@ -49,6 +54,8 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None):
     ope = load_of_method(method)
     if params is not None:
         ope.parse_input_parameter(params)
+    if mesh is not None:
+        ope.spatial_mesh = mesh
 
     lab1 = None
     if im1.ndim == 3 and im1.shape[2] >= 3:

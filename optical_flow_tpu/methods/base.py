@@ -76,6 +76,13 @@ class BaseOpticalFlow:
         # numeric precision of the compute path (tests may use float64 on CPU)
         self.dtype = jnp.float32
 
+        # spatial (row) sharding: a jax.sharding.Mesh with a 'space' axis
+        # routes every feasible pyramid-level solve through the shard_map
+        # program in parallel/spatial.py; spatial_halo bounds the per-level
+        # warp displacement handled exactly at shard boundaries.
+        self.spatial_mesh = None
+        self.spatial_halo = 6
+
         # optional callable(stage, level, uv) invoked after every pyramid
         # level — see utils/checkpoint.FlowCheckpointer.  Forces the
         # per-level execution path (incompatible with whole-flow fusion).

@@ -299,9 +299,21 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                 color_level = cur_color[level]
                 if color_level is None:
                     color_level = jnp.zeros((1, 1), dtype=self.dtype)
-                uv = classic_nl_level_resampled(
-                    cfg, cur[level], color_level, uv, jnp.asarray(alpha, self.dtype)
-                )
+                if self.spatial_mesh is not None:
+                    from optical_flow_tpu.parallel.spatial import (
+                        classic_nl_level_step_spatial,
+                    )
+
+                    uv = resample_flow(uv, tuple(int(s) for s in nsz))
+                    uv = classic_nl_level_step_spatial(
+                        cfg, cur[level], color_level, uv,
+                        jnp.asarray(alpha, self.dtype),
+                        self.spatial_mesh, int(self.spatial_halo),
+                    )
+                else:
+                    uv = classic_nl_level_resampled(
+                        cfg, cur[level], color_level, uv, jnp.asarray(alpha, self.dtype)
+                    )
                 if self.checkpoint is not None:
                     self.checkpoint(ignc, level, uv)
 

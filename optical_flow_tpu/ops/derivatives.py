@@ -141,6 +141,40 @@ def precompute_warp(images, interp_method: str = "cubic", deriv_filter=None, ble
     )
 
 
+# corner order per image: 00=(fx,fy), 10=(cx,fy), 11=(cx,cy), 01=(fx,cy)
+HERMITE_CORNER_SHIFTS = ((0, 0), (0, 1), (1, 1), (1, 0))
+
+
+def hermite_eval(taps, ax, ay, dtype):
+    """(val, d/dx, d/dy) from 16 corner taps and in-cell offsets (ax, ay).
+
+    ``taps`` is (..., 16): for each of (Z, DX, DY, DXY) the four corners in
+    :data:`HERMITE_CORNER_SHIFTS` order.  One MXU matmul with the Numerical
+    Recipes coefficient matrix solves the 16 polynomial coefficients for
+    every pixel at once.
+    """
+    V = jnp.moveaxis(taps, -1, 0)  # (16, ...)
+    C = jnp.tensordot(jnp.asarray(W_BICUBIC, dtype=dtype), V, axes=1)
+
+    ax_p = [jnp.ones_like(ax), ax, ax * ax, ax * ax * ax]
+    ay_p = [jnp.ones_like(ay), ay, ay * ay, ay * ay * ay]
+
+    val = jnp.zeros_like(ax)
+    vx = jnp.zeros_like(ax)
+    vy = jnp.zeros_like(ax)
+    idx = 0
+    for i in range(4):
+        for j in range(4):
+            c = C[idx]
+            val = val + c * ax_p[i] * ay_p[j]
+            if i > 0:
+                vx = vx + i * c * ax_p[i - 1] * ay_p[j]
+            if j > 0:
+                vy = vy + j * c * ax_p[i] * ay_p[j - 1]
+            idx += 1
+    return val, vx, vy
+
+
 def _hermite_bicubic(tables, yq, xq, dtype):
     """Hermite bicubic sample + analytical d/dx, d/dy at (yq, xq), 0-based.
 
@@ -162,39 +196,16 @@ def _hermite_bicubic(tables, yq, xq, dtype):
     # All 16 corner reads are one batched gather: corner (a, b) of image A
     # equals the edge-padded shift A[r+a, c+b] at the clamped base index —
     # identical to clipping each corner separately.
-    # order per image: 00=(fx,fy), 10=(cx,fy), 11=(cx,cy), 01=(fx,cy)
-    corner_shifts = ((0, 0), (0, 1), (1, 1), (1, 0))
     planes = jnp.stack(
         [
             jnp.pad(A, ((0, 1), (0, 1)), mode="edge")[a : a + H, b : b + W]
             for A in (Z, DX, DY, DXY)
-            for (a, b) in corner_shifts
+            for (a, b) in HERMITE_CORNER_SHIFTS
         ],
         axis=-1,
     )
     taps = gather_planes(planes, iy0, ix0)  # (..., 16)
-    V = jnp.moveaxis(taps, -1, 0)  # (16, ...)
-    # one MXU matmul solves the 16 polynomial coefficients for every pixel
-    C = jnp.tensordot(jnp.asarray(W_BICUBIC, dtype=dtype), V, axes=1)
-
-    ax = xq - fx
-    ay = yq - fy
-    ax_p = [jnp.ones_like(ax), ax, ax * ax, ax * ax * ax]
-    ay_p = [jnp.ones_like(ay), ay, ay * ay, ay * ay * ay]
-
-    val = jnp.zeros_like(ax)
-    vx = jnp.zeros_like(ax)
-    vy = jnp.zeros_like(ax)
-    idx = 0
-    for i in range(4):
-        for j in range(4):
-            c = C[idx]
-            val = val + c * ax_p[i] * ay_p[j]
-            if i > 0:
-                vx = vx + i * c * ax_p[i - 1] * ay_p[j]
-            if j > 0:
-                vy = vy + j * c * ax_p[i] * ay_p[j - 1]
-            idx += 1
+    val, vx, vy = hermite_eval(taps, xq - fx, yq - fy, dtype)
     return val, vx, vy, oob
 
 

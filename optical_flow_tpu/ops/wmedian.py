@@ -101,9 +101,7 @@ def denoise_color_weighted_medfilt2(
         color_images = color_images[:, :, None]
 
     hsz = int(area_hsz)
-    k = 2 * hsz + 1
     C = color_images.shape[2]
-    inv_2sigma2 = 1.0 / (2.0 * sigma_i**2)
 
     # numpy-'reflect' (mirror, no edge duplication) — the reference pads with
     # np.pad(..., mode='reflect') here (weighted_median.py:78-84), which is
@@ -126,6 +124,36 @@ def denoise_color_weighted_medfilt2(
             float(sigma_i),
         )
 
+    return wmedfilt_prepadded(
+        u_pad, v_pad, occ_pad, color_pad, color_images,
+        H, W, hsz, float(sigma_i), row_chunk,
+    )
+
+
+def wmedfilt_prepadded(
+    u_pad,
+    v_pad,
+    occ_pad,
+    color_pad,
+    color_center,
+    H: int,
+    W: int,
+    hsz: int,
+    sigma_i: float,
+    row_chunk: int = 0,
+):
+    """Weighted median core on pre-padded fields (XLA-sort path).
+
+    ``*_pad`` fields carry ``hsz`` boundary rows/columns (any fill — the
+    caller owns the boundary convention; the single-device entry point uses
+    numpy-'reflect', the row-sharded path supplies halo-exchanged strips).
+    ``color_center`` is the unpadded (H, W, C) guide at the output pixels.
+    Returns the (H, W, 2) filtered flow.
+    """
+    k = 2 * hsz + 1
+    C = color_pad.shape[2]
+    inv_2sigma2 = 1.0 / (2.0 * sigma_i**2)
+
     if row_chunk <= 0:
         # bound the (rows, W, k^2) patch-stack footprint to ~256 MB of f32.
         # Successive weighted-median calls are data-dependent, so one
@@ -144,7 +172,7 @@ def denoise_color_weighted_medfilt2(
         for c in range(C):
             cp = _patch_stack(sl(color_pad[:, :, c]), rows, W, k)
             center = jax.lax.dynamic_slice_in_dim(
-                color_images[:, :, c], r0, rows, axis=0
+                color_center[:, :, c], r0, rows, axis=0
             )[:, :, None]
             cdiff = cdiff + (cp - center) ** 2
         w = jnp.maximum(jnp.exp(-cdiff * inv_2sigma2) * op, 1e-10)
@@ -164,7 +192,7 @@ def denoise_color_weighted_medfilt2(
         v_pad = jnp.pad(v_pad, ((0, pad_rows), (0, 0)))
         occ_pad = jnp.pad(occ_pad, ((0, pad_rows), (0, 0)), constant_values=1.0)
         color_pad = jnp.pad(color_pad, ((0, pad_rows), (0, 0), (0, 0)))
-        color_images = jnp.pad(color_images, ((0, pad_rows), (0, 0), (0, 0)))
+        color_center = jnp.pad(color_center, ((0, pad_rows), (0, 0), (0, 0)))
 
     u_out, v_out = jax.lax.map(
         lambda i: chunk_median(i * row_chunk, row_chunk), jnp.arange(n_chunks)

@@ -71,18 +71,23 @@ def solve_flow_system_local(
     rtol: float = 1e-3,
     maxiter: int = 200,
     x0=None,
+    sync_axes=(),
 ):
     """PCG on a row-sharded FlowSystem; call inside ``shard_map``.
 
     Halo exchange rides ICI in every apply; dot products are
     ``psum``-reduced so every shard sees identical scalars (identical
-    control flow in the while_loop).
+    control flow in the while_loop).  ``sync_axes`` forces a uniform trip
+    count across additional mesh axes running independent solves (see
+    :func:`~optical_flow_tpu.solvers.cg.pcg_solve`).
     """
     b = jnp.stack([sys.b_u, sys.b_v], axis=-1)
     diag = sharded_system_diag_local(sys, axis_name)
     apply_A = lambda x: sharded_system_apply_local(sys, x, axis_name)
     dot = lambda a, c: lax.psum(jnp.sum(a * c), axis_name)
-    return pcg_solve(apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot)
+    return pcg_solve(
+        apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot, sync_axes=sync_axes
+    )
 
 
 def solve_flow_system_sharded(

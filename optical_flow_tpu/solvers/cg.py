@@ -32,13 +32,21 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
-def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot):
+def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=()):
     """PCG on ``A x = b`` with Jacobi preconditioner ``diag``.
 
     ``apply_A`` maps pytree-shaped arrays to like-shaped arrays.  The
     convergence test matches ``scipy.sparse.linalg.cg``:
     ``||r||_2 <= rtol * ||b||_2`` checked every iteration.  ``dot`` is
     injectable so the distributed path can psum-reduce partial products.
+
+    ``sync_axes``: mesh axis names over which the loop must run a UNIFORM
+    number of iterations.  When independent systems solve concurrently on
+    disjoint mesh groups (e.g. data-parallel pairs, each row-sharded), the
+    halo-exchange collectives inside ``apply_A`` lower to one program-wide
+    op — a group that exits its while_loop early deadlocks the others.
+    Reducing the convergence flag with ``pmax`` keeps every group iterating
+    until all have converged (extra iterations only polish the residual).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -52,7 +60,10 @@ def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot):
 
     def cond(state):
         k, x, r, z, p, rz = state
-        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
+        unconverged = (dot(r, r) > tol2).astype(jnp.int32)
+        for axn in sync_axes:
+            unconverged = jax.lax.pmax(unconverged, axn)
+        return jnp.logical_and(k < maxiter, unconverged > 0)
 
     def body(state):
         k, x, r, z, p, rz = state

@@ -1,0 +1,149 @@
+"""Spatially-sharded (row-tiled) Classic+NL: equality with single-device.
+
+The whole level program — bicubic warp, IRLS system, distributed CG,
+occlusion, color-guided weighted median — runs under shard_map on the
+virtual 8-device CPU mesh and must reproduce the single-device
+``classic_nl_level_step`` (up to CG reduction order).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from optical_flow_tpu.config import load_of_method
+from optical_flow_tpu.methods.classic_nl import classic_nl_level_step
+from optical_flow_tpu.parallel.halo import halo_exchange_rows
+from optical_flow_tpu.parallel.mesh import flow_mesh, SPACE_AXIS
+from optical_flow_tpu.parallel.spatial import (
+    classic_nl_level_step_spatial,
+    spatial_plan,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_8
+@pytest.mark.parametrize("mode", ["edge", "symmetric", "reflect"])
+def test_halo_exchange_boundary_modes(mode):
+    """Global-edge halo fills must equal np.pad of the full array."""
+    mesh = flow_mesh(batch=1, space=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(32, 4)))
+    r = 2
+    fn = shard_map(
+        partial(halo_exchange_rows, radius=r, axis_name=SPACE_AXIS, mode=mode),
+        mesh=mesh,
+        in_specs=P(SPACE_AXIS),
+        out_specs=P(SPACE_AXIS),
+        check_rep=False,
+    )
+    out = np.asarray(fn(x))  # 8 blocks of (4 + 2r) rows
+    ref = np.pad(np.asarray(x), ((r, r), (0, 0)), mode=mode)
+    np.testing.assert_array_equal(out[: 4 + 2 * r], ref[: 4 + 2 * r])
+    np.testing.assert_array_equal(out[-(4 + 2 * r) :], ref[-(4 + 2 * r) :])
+    # interior shard 3 (rows 12..16): block must be rows 10..18 of x
+    blk = out[3 * (4 + 2 * r) : 4 * (4 + 2 * r)]
+    np.testing.assert_array_equal(blk, np.asarray(x)[10:18])
+
+
+def _smooth(rng, shape, scale=255.0):
+    """Band-limited random field (stresses interpolation, avoids ties)."""
+    x = rng.uniform(0, 1, shape)
+    from scipy.ndimage import gaussian_filter
+
+    x = gaussian_filter(x, sigma=1.5, mode="reflect")
+    x = (x - x.min()) / max(np.ptp(x), 1e-9)
+    return scale * x
+
+
+def _level_inputs(rng, H, W, dtype):
+    im1 = _smooth(rng, (H, W))
+    # warp im2 off im1 so the data term is meaningful
+    im2 = np.roll(im1, 1, axis=1) + 2.0 * rng.standard_normal((H, W))
+    images = jnp.asarray(np.stack([im1, im2], -1), dtype)
+    color = jnp.asarray(
+        np.stack([_smooth(rng, (H, W)) for _ in range(3)], -1), dtype
+    )
+    uv = jnp.asarray(
+        np.stack(
+            [_smooth(rng, (H, W), 3.0) - 1.5, _smooth(rng, (H, W), 2.0) - 1.0], -1
+        ),
+        dtype,
+    )
+    return images, color, uv
+
+
+@needs_8
+@pytest.mark.parametrize(
+    "H,W,expect_pad",
+    [
+        (64, 48, 0),  # divisible: no padding path
+        (153, 40, 7),  # 153 % 8 != 0: masked bottom-pad path
+    ],
+)
+def test_spatial_level_step_matches_single_device(H, W, expect_pad):
+    mesh = flow_mesh(batch=1, space=8)
+    ope = load_of_method("classic+nl-fast")
+    ope.display = False
+    cfg = ope._nl_cfg(use_color=True, max_linear=1)
+
+    scfg = spatial_plan(H, W, 8, cfg.area_hsz, halo=6)
+    assert scfg is not None, "level must be feasible or the test is vacuous"
+    assert scfg.pad == expect_pad
+
+    rng = np.random.default_rng(7)
+    images, color, uv = _level_inputs(rng, H, W, jnp.float64)
+    alpha = jnp.asarray(0.4, jnp.float64)
+
+    ref = np.asarray(classic_nl_level_step(cfg, images, color, uv, alpha))
+    out = np.asarray(
+        classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo=6)
+    )
+    assert out.shape == ref.shape
+    # identical math modulo psum reduction order in CG dot products
+    np.testing.assert_allclose(out, ref, atol=1e-8)
+
+
+@needs_8
+def test_spatial_level_step_no_color_median_path(rng):
+    """The plain-median fallback (use_color=False) must also match."""
+    mesh = flow_mesh(batch=1, space=8)
+    ope = load_of_method("classic+nl-fast")
+    ope.display = False
+    cfg = ope._nl_cfg(use_color=False, max_linear=1)
+
+    H, W = 56, 40
+    images, _, uv = _level_inputs(rng, H, W, jnp.float64)
+    dummy = jnp.zeros((1, 1), jnp.float64)
+    alpha = jnp.asarray(0.0, jnp.float64)
+
+    ref = np.asarray(classic_nl_level_step(cfg, images, dummy, uv, alpha))
+    out = np.asarray(
+        classic_nl_level_step_spatial(cfg, images, dummy, uv, alpha, mesh, halo=6)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-8)
+
+
+@needs_8
+def test_estimate_flow_spatial_end_to_end():
+    """Full coarse-to-fine estimation with mesh= matches the normal path."""
+    from optical_flow_tpu.interface import estimate_flow
+
+    rng = np.random.default_rng(11)
+    H, W = 96, 64
+    im1 = np.stack([_smooth(rng, (H, W)) for _ in range(3)], -1)
+    im2 = np.roll(im1, 1, axis=1)
+
+    mesh = flow_mesh(batch=1, space=8)
+    uv_single = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", {"display": False}))
+    uv_spatial = np.asarray(
+        estimate_flow(im1, im2, "classic+nl-fast", {"display": False}, mesh=mesh)
+    )
+    np.testing.assert_allclose(uv_spatial, uv_single, atol=1e-3)
+    assert np.abs(uv_spatial - uv_single).mean() < 1e-5
+    # and it actually recovered the 1px shift
+    assert abs(uv_spatial[8:-8, 8:-8, 0].mean() - 1.0) < 0.05
