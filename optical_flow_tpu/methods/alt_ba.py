@@ -5,8 +5,16 @@ the main flow through a charbonnier penalty whose weight anneals over a
 logspace schedule (``alt_ba.py:209-212``); each warping iteration solves the
 coupled system, updates ``uvhat`` by Li–Osher median denoising, and
 optionally replaces ``uv`` with ``uvhat`` (``alt_ba.py:255-272``).  The
-``qterm`` and ``replacement`` stage flags are traced scalars so one compiled
-program serves every GNC stage.
+``replacement`` stage flag is a traced scalar so one compiled program serves
+every GNC stage.
+
+Note on ``qterm``: the reference SETS it per level (``alt_ba.py:156-160``)
+but its ``compute_flow_base`` never reads it — the coupling term is applied
+unconditionally (``alt_ba.py:236-242``).  At the coarsest level, where
+uv == uvhat == 0, the coupling still contributes a lambda2/sigma Tikhonov
+diagonal, so honoring the dead flag changes results; we reproduce the
+reference's actual behavior (always coupled) and keep the attribute only
+for config parity.
 """
 from __future__ import annotations
 
@@ -40,19 +48,19 @@ class AltBALevelConfig:
 
 
 @partial(jax.jit, static_argnums=(0,))
-def alt_ba_level_resampled(cfg, images, uv, uvhat, alpha, qterm, replacement):
+def alt_ba_level_resampled(cfg, images, uv, uvhat, alpha, replacement):
     """Level step with both inter-level flow resamples fused in."""
     from optical_flow_tpu.ops.resample import resample_flow
 
     nsz = images.shape[:2]
     return alt_ba_level_step(
         cfg, images, resample_flow(uv, nsz), resample_flow(uvhat, nsz),
-        alpha, qterm, replacement,
+        alpha, replacement,
     )
 
 
 @partial(jax.jit, static_argnums=(0,))
-def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, qterm, replacement):
+def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, replacement):
     """One pyramid level of Alt-BA (``alt_ba.py:189-274``)."""
     irls = cfg.irls
     pre = precompute_warp(images, irls.interp, np.array(irls.deriv_filter), irls.blend)
@@ -79,11 +87,11 @@ def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, qterm, re
             )
             sys = blend_systems(alpha, sys_q, sys_r)
 
-            # coupling term (alt_ba.py:236-242); disabled when qterm is off
-            couple_scale = jnp.where(qterm, lambda2, 0.0)
+            # coupling term — applied unconditionally, like the reference's
+            # compute_flow_base (alt_ba.py:236-242; its qterm flag is dead)
             tmp = cfg.rho_couple.deriv_over_x(uv - uvhat)
-            sys = add_coupling(sys, couple_scale * tmp)
-            delta = couple_scale * tmp * (uvhat - uv)
+            sys = add_coupling(sys, lambda2 * tmp)
+            delta = lambda2 * tmp * (uvhat - uv)
             sys = sys._replace(
                 b_u=sys.b_u + delta[:, :, 0], b_v=sys.b_v + delta[:, :, 1]
             )
@@ -141,7 +149,6 @@ def alt_ba_flow_program(plan: AltBAFlowPlan, images, uv, uvhat):
         else:
             levels, cur, shapes = plan.gnc_levels, gnc_pyramid, plan.gnc_shapes
         for level in range(levels - 1, -1, -1):
-            qterm = not (level == levels - 1 and stage_idx == 0)
             uv = resample_flow(uv, shapes[level])
             uvhat = resample_flow(uvhat, shapes[level])
             uv, uvhat = alt_ba_level_step(
@@ -150,7 +157,6 @@ def alt_ba_flow_program(plan: AltBAFlowPlan, images, uv, uvhat):
                 uv,
                 uvhat,
                 jnp.asarray(alpha, uv.dtype),
-                jnp.asarray(qterm),
                 jnp.asarray(replacement),
             )
     # Alt-BA returns the auxiliary field (alt_ba.py:185-187)
@@ -220,7 +226,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
         uvhat = uv
 
-        if self.fuse and not self.display and gt is None and self.checkpoint is None:
+        if self._fuse_enabled() and not self.display and gt is None and self.checkpoint is None:
             from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
 
             self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
@@ -270,15 +276,12 @@ class AltBAOpticalFlow(BAOpticalFlow):
             for level in range(levels - 1, -1, -1):
                 if self.display:
                     print(f"  Pyramid level: {level + 1}")
-                # coupling off at the coarsest level of stage 1 (alt_ba.py:156-160)
-                qterm = not (level == levels - 1 and ignc == 0)
                 uv, uvhat = alt_ba_level_resampled(
                     cfg,
                     current[level],
                     uv,
                     uvhat,
                     jnp.asarray(alpha, self.dtype),
-                    jnp.asarray(qterm),
                     jnp.asarray(replacement),
                 )
                 if self.checkpoint is not None:
@@ -305,6 +308,5 @@ class AltBAOpticalFlow(BAOpticalFlow):
             uv,
             uvhat,
             jnp.asarray(self.alpha, self.dtype),
-            jnp.asarray(bool(self.qterm)),
             jnp.asarray(bool(self.replacement)),
         )
