@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness: batch-DP throughput curve on real TPU.
+
+Measures classic+nl-fast frames/s per chip at batch sizes B = 1..8 on the
+RubberWhale pair (584x388, full color-guided path — the same computation as
+bench.py, vmapped).  Efficiency is throughput(B) / throughput(1): batching
+amortizes the per-dispatch tunnel latency, so efficiency can exceed 1.
+
+Multi-chip (N >= 2) scaling on this machine is validated for CORRECTNESS on
+the 8-virtual-device CPU mesh (tests/test_spatial.py, tests/test_parallel.py);
+only one physical chip is available, so cross-chip efficiency cannot be
+timed here — the DP path has zero cross-pair communication by construction
+(each pair's programs touch only its own shard), and the spatial path's
+communication is radius-r halos + CG scalar psums.
+
+Emits one JSON line per configuration to stdout.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.evaluation.metrics import flow_angular_error
+    from optical_flow_tpu.io.flo import read_flow_file
+    from optical_flow_tpu.parallel.batch import (
+        estimate_flow_batched,
+        preprocess_color_batch,
+    )
+
+    log("devices:", jax.devices())
+    im1, im2, tu, tv = read_flow_file("RubberWhale", 10)
+    params = {"display": False, "solver": "pcg"}
+
+    sizes = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["1", "2", "4", "8"])]
+    results = {}
+    for B in sizes:
+        im1_b = np.broadcast_to(im1, (B, *im1.shape))
+        im2_b = np.broadcast_to(im2, (B, *im2.shape))
+        images_b, color_b = preprocess_color_batch(im1_b, im2_b)
+        images_b, color_b = jax.block_until_ready((images_b, color_b))
+
+        t0 = time.time()
+        uv = np.asarray(
+            estimate_flow_batched(images_b, "classic+nl-fast", params=params, color_batch=color_b)
+        )
+        log(f"B={B}: warmup (incl. compile) {time.time() - t0:.1f}s")
+
+        best = float("inf")
+        for i in range(2):
+            t0 = time.time()
+            uv = np.asarray(
+                estimate_flow_batched(
+                    images_b, "classic+nl-fast", params=params, color_batch=color_b
+                )
+            )
+            dt = time.time() - t0
+            best = min(best, dt)
+            log(f"B={B} run {i}: {dt:.2f}s  ({B / dt:.3f} frames/s)")
+        aae, _, aepe = flow_angular_error(tu, tv, uv[0, :, :, 0], uv[0, :, :, 1])
+        results[B] = (B / best, float(aae), float(aepe))
+
+    base_fps = results[sizes[0]][0] * sizes[0] if sizes[0] != 1 else results[1][0]
+    for B in sizes:
+        fps, aae, aepe = results[B]
+        print(
+            json.dumps(
+                {
+                    "metric": f"classic+nl-fast batched B={B} frames/s per chip @584x388",
+                    "value": round(fps, 4),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / (1.0 / 270.8), 2),
+                    "batch": B,
+                    "dp_efficiency_vs_B1": round(fps / base_fps, 3),
+                    "aae_deg": round(aae, 3),
+                    "aepe_px": round(aepe, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

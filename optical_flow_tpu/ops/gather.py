@@ -95,29 +95,24 @@ _SWEEP_TIERS = (5,)
 _MAX_TIER = _SWEEP_TIERS[-1]
 
 
-def gather_displaced(planes, iy, ix):
-    """Exact gather specialized for displacement fields (warps).
+def _gather_displaced_impl(planes, iy, ix):
+    """Displacement-tiered sweep over (B, H, W, K) planes / (B, H, W) indices.
 
-    ``out[i,j,k] = planes[iy[i,j], ix[i,j], k]`` where (iy, ix) deviate from
-    the identity grid by a *bounded* displacement most of the time (optical
-    flow magnitudes).  When the runtime max displacement D fits a static
-    tier, the gather becomes a (2D+1)^2 sweep of masked shifted views — an
-    all-VPU pass over all K planes at once, ~an order of magnitude faster
-    than per-element gathers.  Larger displacements fall back to the
-    per-plane gather.  Selection happens on-device via ``lax.cond``, so a
-    single compiled program serves any motion magnitude.
-
-    Requires ``iy.shape == ix.shape == planes.shape[:2]`` and indices
-    already clamped in-range.
+    The tier test uses ONE scalar D = max displacement over the whole batch,
+    so ``lax.cond`` stays a true branch (a vmapped cond with a batched
+    predicate would execute BOTH branches — sweep + slow per-plane gather —
+    for every element; this is why batching is claimed via custom_vmap).
     """
-    H, W, K = planes.shape
+    B, H, W, K = planes.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     di = iy - ii
     dj = ix - jj
     D = jnp.maximum(jnp.max(jnp.abs(di)), jnp.max(jnp.abs(dj)))
 
-    P = jnp.pad(planes, ((_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0)))
+    P = jnp.pad(
+        planes, ((0, 0), (_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0))
+    )
 
     def sweep(DT: int):
         # fori_loop over the (2DT+1)^2 offsets: the body (one dynamic slice
@@ -133,15 +128,21 @@ def gather_displaced(planes, iy, ix):
             def body(o, acc):
                 dy = o // n
                 dx = o % n
-                view = jax.lax.dynamic_slice(P, (base + dy, base + dx, 0), (H, W, K))
-                return acc + jnp.where((code == o)[:, :, None], view, 0.0)
+                view = jax.lax.dynamic_slice(
+                    P, (0, base + dy, base + dx, 0), (B, H, W, K)
+                )
+                return acc + jnp.where((code == o)[:, :, :, None], view, 0.0)
 
             return jax.lax.fori_loop(0, n * n, body, jnp.zeros_like(planes))
 
         return run
 
     def fallback():
-        return jnp.stack([planes[:, :, k][iy, ix] for k in range(K)], axis=-1)
+        def one(args):
+            p, y, x = args
+            return jnp.stack([p[:, :, k][y, x] for k in range(K)], axis=-1)
+
+        return jax.lax.map(one, (planes, iy, ix))
 
     result = fallback
     for tier in reversed(_SWEEP_TIERS):
@@ -149,6 +150,35 @@ def gather_displaced(planes, iy, ix):
             tier, result
         )
     return result()
+
+
+@jax.custom_batching.custom_vmap
+def gather_displaced(planes, iy, ix):
+    """Exact gather specialized for displacement fields (warps).
+
+    ``out[i,j,k] = planes[iy[i,j], ix[i,j], k]`` where (iy, ix) deviate from
+    the identity grid by a *bounded* displacement most of the time (optical
+    flow magnitudes).  When the runtime max displacement D fits a static
+    tier, the gather becomes a (2D+1)^2 sweep of masked shifted views — an
+    all-VPU pass over all K planes at once, ~an order of magnitude faster
+    than per-element gathers.  Larger displacements fall back to the
+    per-plane gather.  Selection happens on-device via ``lax.cond``, so a
+    single compiled program serves any motion magnitude.
+
+    Requires ``iy.shape == ix.shape == planes.shape[:2]`` and indices
+    already clamped in-range.  vmap-safe: the batching rule runs the same
+    sweep over the stacked batch with a single batch-wide tier decision.
+    """
+    return _gather_displaced_impl(planes[None], iy[None], ix[None])[0]
+
+
+@gather_displaced.def_vmap
+def _gather_displaced_vmap(axis_size, in_batched, planes, iy, ix):
+    planes, iy, ix = [
+        x if bat else jnp.broadcast_to(x, (axis_size, *x.shape))
+        for x, bat in zip((planes, iy, ix), in_batched)
+    ]
+    return _gather_displaced_impl(planes, iy, ix), True
 
 
 def gather_shifted_planes(padded, shifts, iy, ix):

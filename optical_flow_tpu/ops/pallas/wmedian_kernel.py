@@ -85,24 +85,27 @@ def _wmedian_kernel(
 ):
     k = 2 * hsz + 1
     K2 = k * k
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     r0 = pl.multiple_of(i * TILE_H, TILE_H)
     c0 = pl.multiple_of(j * TILE_W, 128)
 
-    # DMA this program's input windows from HBM into VMEM
+    # DMA this program's input windows from HBM into VMEM.  Inputs carry a
+    # leading batch axis (grid dim 0): the SAME kernel serves the single-pair
+    # path (B=1) and the vmapped batched path (custom_vmap routes here).
     copies = [
         pltpu.make_async_copy(
-            u_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], u_win, copy_sem.at[0]
+            u_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], u_win, copy_sem.at[0]
         ),
         pltpu.make_async_copy(
-            v_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], v_win, copy_sem.at[1]
+            v_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], v_win, copy_sem.at[1]
         ),
         pltpu.make_async_copy(
-            occ_hbm.at[pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], occ_win, copy_sem.at[2]
+            occ_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], occ_win, copy_sem.at[2]
         ),
         pltpu.make_async_copy(
-            color_hbm.at[:, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)],
+            color_hbm.at[b, :, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)],
             color_win,
             copy_sem.at[3],
         ),
@@ -152,10 +155,79 @@ def _wmedian_kernel(
             return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
         lo, hi = jax.lax.fori_loop(0, 32, bisect, (lo, hi))
-        out_ref[:, :, out_channel] = _decode_i32(hi)
+        out_ref[0, :, :, out_channel] = _decode_i32(hi)
 
     field_median(u_win[:], 0)
     field_median(v_win[:], 1)
+
+
+def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
+    """Batched kernel invocation: (B, Hp, Wp) fields + (B, C, Hp, Wp) guide
+    -> (B, H, W, 2) medians, one pallas_call with a leading batch grid axis."""
+    B = u.shape[0]
+    H, W = out_hw
+    n_row = -(-H // TILE_H)
+    n_col = -(-W // TILE_W)
+    C = color.shape[1]
+    kernel = functools.partial(
+        _wmedian_kernel,
+        hsz=hsz,
+        n_chan=C,
+        inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
+    )
+    K2 = (2 * hsz + 1) ** 2
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_row, n_col),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_row * TILE_H, n_col * TILE_W, 2), jnp.float32
+        ),
+        in_specs=[hbm(), hbm(), hbm(), hbm()],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W, 2), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # u window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # v window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # occ window
+            pltpu.VMEM((C, _ROW_WINDOW, _COL_WINDOW), jnp.float32),  # color window
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(u, v, occ, color)
+    return out[:, :H, :W]
+
+
+@functools.lru_cache(maxsize=None)
+def _wmedian_dispatch(out_hw, hsz, sigma_i, interpret):
+    """custom_vmap wrapper per static configuration.
+
+    ``jax.vmap`` of a pallas_call with ANY-memory-space inputs is not
+    lowerable on TPU (the auto-batching rule emits squeezed block specs on
+    HBM refs), so batching is claimed here instead: the vmap rule stacks the
+    batch into the kernel's leading GRID axis — one compiled program, B x
+    n_row x n_col programs, identical per-tile work.
+    """
+    call = functools.partial(
+        _wmedian_call, out_hw=out_hw, hsz=hsz, sigma_i=sigma_i, interpret=interpret
+    )
+
+    @jax.custom_batching.custom_vmap
+    def wm(u, v, occ, color):
+        return call(u[None], v[None], occ[None], color[None])[0]
+
+    @wm.def_vmap
+    def _rule(axis_size, in_batched, u, v, occ, color):
+        args = [
+            x if bat else jnp.broadcast_to(x, (axis_size, *x.shape))
+            for x, bat in zip((u, v, occ, color), in_batched)
+        ]
+        return call(*args), True
+
+    return wm
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -175,7 +247,7 @@ def wmedian_pallas(
         u_pad, v_pad, occ_pad: mirror-padded (H+2h, W+2h) float32 fields.
         color_pad_cmajor: (C, H+2h, W+2h) float32 padded guide image.
         out_hw: static (H, W) output size.
-    Returns (H, W, 2) medians.
+    Returns (H, W, 2) medians.  vmap-safe (see :func:`_wmedian_dispatch`).
     """
     H, W = out_hw
     hsz = int(area_hsz)
@@ -183,7 +255,6 @@ def wmedian_pallas(
     n_col = -(-W // TILE_W)
     Hp = n_row * TILE_H + (_ROW_WINDOW - TILE_H)
     Wp = (n_col - 1) * TILE_W + _COL_WINDOW
-    C = color_pad_cmajor.shape[0]
 
     def fit(x, axes):
         cfg = [(0, 0)] * x.ndim
@@ -191,39 +262,13 @@ def wmedian_pallas(
             cfg[ax] = (0, max(0, target - x.shape[ax]))
         return jnp.pad(x, cfg)
 
-    u_pad = fit(u_pad, [(0, Hp), (1, Wp)])
-    v_pad = fit(v_pad, [(0, Hp), (1, Wp)])
-    occ_pad = fit(occ_pad, [(0, Hp), (1, Wp)])
-    color_pad_cmajor = fit(color_pad_cmajor, [(1, Hp), (2, Wp)])
+    u_pad = fit(u_pad, [(-2, Hp), (-1, Wp)])
+    v_pad = fit(v_pad, [(-2, Hp), (-1, Wp)])
+    occ_pad = fit(occ_pad, [(-2, Hp), (-1, Wp)])
+    color_pad_cmajor = fit(color_pad_cmajor, [(-2, Hp), (-1, Wp)])
 
-    kernel = functools.partial(
-        _wmedian_kernel,
-        hsz=hsz,
-        n_chan=C,
-        inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
-    )
-    K2 = (2 * hsz + 1) ** 2
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_row, n_col),
-        out_shape=jax.ShapeDtypeStruct((n_row * TILE_H, n_col * TILE_W, 2), jnp.float32),
-        in_specs=[hbm(), hbm(), hbm(), hbm()],
-        out_specs=pl.BlockSpec(
-            (TILE_H, TILE_W, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # u window
-            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # v window
-            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # occ window
-            pltpu.VMEM((C, _ROW_WINDOW, _COL_WINDOW), jnp.float32),  # color window
-            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
-            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        interpret=interpret,
-    )(u_pad, v_pad, occ_pad, color_pad_cmajor)
-    return out[:H, :W]
+    dispatch = _wmedian_dispatch((H, W), hsz, float(sigma_i), bool(interpret))
+    return dispatch(u_pad, v_pad, occ_pad, color_pad_cmajor)
 
 
 def wmedian_pallas_ok(H, W, hsz, C, budget_bytes: int = 13 * 1024 * 1024) -> bool:

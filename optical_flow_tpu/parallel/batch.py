@@ -17,10 +17,12 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.config import load_of_method
-from optical_flow_tpu.methods.classic_nl import ClassicNLOpticalFlow, classic_nl_level_step
-from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_level_step
-from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_level_step
-from optical_flow_tpu.ops.resample import resample_flow
+from optical_flow_tpu.methods.classic_nl import (
+    ClassicNLOpticalFlow,
+    classic_nl_level_resampled,
+)
+from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_level_resampled
+from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_level_resampled
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
 from optical_flow_tpu.utils.compat import scale_image
 from optical_flow_tpu.parallel.mesh import BATCH_AXIS
@@ -29,6 +31,9 @@ _vmapped_cache = {}
 
 
 def _vmapped(fn, n_array_args):
+    """jit(vmap(level_resampled)): the inter-level flow resample is fused
+    INSIDE the jitted program — per-call host work is one dispatch per level
+    (eager ops cost ~0.4 s each over the axon tunnel)."""
     key = (fn, n_array_args)
     if key not in _vmapped_cache:
         _vmapped_cache[key] = jax.jit(
@@ -38,14 +43,68 @@ def _vmapped(fn, n_array_args):
     return _vmapped_cache[key]
 
 
-def estimate_flow_batched(images_batch, method: str = "hs-brightness", mesh=None, params=None):
+_pyramid_cache = {}
+
+
+def _batched_pyramid(levels: int, spacing: float):
+    """One jitted program building ALL pyramid levels of a (B, H, W) batch."""
+    key = (levels, float(spacing))
+    if key not in _pyramid_cache:
+        from optical_flow_tpu.ops.pyramid import pyramid_filter, pyramid_shapes
+        from optical_flow_tpu.ops.filters import correlate2d_multi
+        from optical_flow_tpu.ops.interp import matlab_imresize_bilinear
+
+        def build(pb):
+            f = pyramid_filter(spacing)
+            shapes = pyramid_shapes(pb.shape[1:3], levels, 1.0 / spacing)
+            out = [pb]
+            cur = pb
+            for lvl in range(1, levels):
+                smooth = jax.vmap(lambda im: correlate2d_multi(im, f, "reflect"))(cur)
+                cur = jax.vmap(lambda im: matlab_imresize_bilinear(im, shapes[lvl]))(
+                    smooth
+                )
+                out.append(cur)
+            return tuple(out)
+
+        _pyramid_cache[key] = jax.jit(build)
+    return _pyramid_cache[key]
+
+
+def preprocess_color_batch(im1_batch, im2_batch, dtype=jnp.float32):
+    """(B, H, W, 3) RGB pairs -> (grayscale pair batch, [0,255]-Lab guides).
+
+    The vmapped equivalent of the single-pair interface preprocessing
+    (``interface.py:46-64``): MATLAB-exact rgb2gray + BT.709 rgb2lab.
+    """
+    from optical_flow_tpu.interface import _preprocess_color_pair
+
+    im1_batch = jnp.asarray(im1_batch, dtype=dtype)
+    im2_batch = jnp.asarray(im2_batch, dtype=dtype)
+    return jax.jit(jax.vmap(_preprocess_color_pair.__wrapped__))(im1_batch, im2_batch)
+
+
+def estimate_flow_batched(
+    images_batch,
+    method: str = "hs-brightness",
+    mesh=None,
+    params=None,
+    color_batch=None,
+):
     """Estimate flow for a (B, H, W, 2) batch of frame pairs.
 
     All pairs share one pyramid schedule; every level runs as a single
     vmapped program.  With ``mesh`` given, the batch axis is sharded over
     its ``batch`` axis (pure data parallelism over ICI-free work).
 
-    Supports the HS / BA / Classic+NL method families (grayscale pairs).
+    ``color_batch`` — optional (B, H, W, 3) guides for the Classic+NL
+    non-local term ([0,255]-scaled Lab of frame 1, as produced by
+    :func:`preprocess_color_batch`).  With it, the batched path runs the
+    SAME color-guided weighted median as the single-pair flagship; without
+    it, the plain-median fallback applies (the reference's own behavior
+    when color is absent, ``weighted_median.py:42-47``).
+
+    Supports the HS / BA / Classic+NL method families.
     """
     ope = load_of_method(method)
     if params is not None:
@@ -55,9 +114,12 @@ def estimate_flow_batched(images_batch, method: str = "hs-brightness", mesh=None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        images_batch = jax.device_put(
-            images_batch, NamedSharding(mesh, P(BATCH_AXIS))
-        )
+        sharding = NamedSharding(mesh, P(BATCH_AXIS))
+        images_batch = jax.device_put(images_batch, sharding)
+        if color_batch is not None:
+            color_batch = jax.device_put(
+                jnp.asarray(color_batch, dtype=ope.dtype), sharding
+            )
     B, H, W = images_batch.shape[:3]
 
     # preprocessing, batched (scale_image normalizes per pair)
@@ -68,62 +130,53 @@ def estimate_flow_batched(images_batch, method: str = "hs-brightness", mesh=None
     proc = pre(images_batch)
 
     if ope.auto_level:
-        ope.pyramid_levels = ope._auto_pyramid_levels(proc[0])
+        from optical_flow_tpu.ops.pyramid import auto_pyramid_levels
 
-    # pyramid ops are matmuls/stencils — vmap them directly
-    from optical_flow_tpu.ops.pyramid import pyramid_filter, pyramid_shapes
-    from optical_flow_tpu.ops.filters import correlate2d_multi
-    from optical_flow_tpu.ops.interp import matlab_imresize_bilinear
+        ope.pyramid_levels = auto_pyramid_levels((H, W), ope.pyramid_spacing)
 
-    def build_batched_pyramid(pb, levels, spacing):
-        f = pyramid_filter(spacing)
-        shapes = pyramid_shapes(pb.shape[1:3], levels, 1.0 / spacing)
-        out = [pb]
-        cur = pb
-        for lvl in range(1, levels):
-            smooth = jax.vmap(lambda im: correlate2d_multi(im, f, "reflect"))(cur)
-            cur = jax.vmap(lambda im: matlab_imresize_bilinear(im, shapes[lvl]))(smooth)
-            out.append(cur)
-        return out
-
-    uv = jnp.zeros((B, H, W, 2), dtype=ope.dtype)
+    # All per-level host work below is ONE jitted dispatch per level (the
+    # flow resample rides inside the level program); alphas and the zero
+    # init are numpy constants, so nothing in the loop dispatches eagerly.
+    uv = np.zeros((B, H, W, 2), dtype=np.dtype(ope.dtype))
     alpha = 1.0
+    npdt = np.dtype(ope.dtype)
 
     if isinstance(ope, HSOpticalFlow):
         cfg = ope._level_cfg()
-        pyramid = build_batched_pyramid(proc, ope.pyramid_levels, ope.pyramid_spacing)
-        step = _vmapped(hs_level_step.__wrapped__, 2)
+        pyramid = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)(proc)
+        step = _vmapped(hs_level_resampled.__wrapped__, 2)
         for level in range(ope.pyramid_levels - 1, -1, -1):
-            nsz = pyramid[level].shape[1:3]
-            uv = jax.vmap(lambda f: resample_flow(f, nsz))(uv)
             uv = step(cfg, pyramid[level], uv)
         return uv
 
     if isinstance(ope, ClassicNLOpticalFlow):
-        color = None  # grayscale batched path: plain-median fallback
-        pyramid = build_batched_pyramid(proc, ope.pyramid_levels, ope.pyramid_spacing)
-        gnc_pyramid = build_batched_pyramid(proc, ope.gnc_pyramid_levels, ope.gnc_pyramid_spacing)
-        step = _vmapped(classic_nl_level_step.__wrapped__, 4)
+        use_color = color_batch is not None
+        pyr = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)
+        gnc_pyr = _batched_pyramid(ope.gnc_pyramid_levels, ope.gnc_pyramid_spacing)
+        pyramid, gnc_pyramid = pyr(proc), gnc_pyr(proc)
+        if use_color:
+            color_pyr, color_gnc_pyr = pyr(color_batch), gnc_pyr(color_batch)
+        dummy_guide = np.zeros((B, 1, 1), dtype=npdt)
+        step = _vmapped(classic_nl_level_resampled.__wrapped__, 4)
         for ignc in range(ope.gnc_iters):
-            levels, cur = (
-                (ope.pyramid_levels, pyramid)
-                if ignc == 0
-                else (ope.gnc_pyramid_levels, gnc_pyramid)
-            )
-            cfg = ope._nl_cfg(use_color=False, max_linear=1 if ignc == 0 else None)
+            if ignc == 0:
+                levels, cur = ope.pyramid_levels, pyramid
+                ccur = color_pyr if use_color else None
+            else:
+                levels, cur = ope.gnc_pyramid_levels, gnc_pyramid
+                ccur = color_gnc_pyr if use_color else None
+            cfg = ope._nl_cfg(use_color=use_color, max_linear=1 if ignc == 0 else None)
             for level in range(levels - 1, -1, -1):
-                nsz = cur[level].shape[1:3]
-                uv = jax.vmap(lambda f: resample_flow(f, nsz))(uv)
-                dummy_color = jnp.zeros((B, 1, 1), dtype=ope.dtype)
-                uv = step(cfg, cur[level], dummy_color, uv, jnp.full((B,), alpha, ope.dtype))
+                guide = ccur[level] if use_color else dummy_guide
+                uv = step(cfg, cur[level], guide, uv, np.full((B,), alpha, npdt))
             if ope.gnc_iters > 1:
                 alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
         return uv
 
     if isinstance(ope, BAOpticalFlow):
-        pyramid = build_batched_pyramid(proc, ope.pyramid_levels, ope.pyramid_spacing)
-        gnc_pyramid = build_batched_pyramid(proc, ope.gnc_pyramid_levels, ope.gnc_pyramid_spacing)
-        step = _vmapped(ba_level_step.__wrapped__, 3)
+        pyramid = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)(proc)
+        gnc_pyramid = _batched_pyramid(ope.gnc_pyramid_levels, ope.gnc_pyramid_spacing)(proc)
+        step = _vmapped(ba_level_resampled.__wrapped__, 3)
         for ignc in range(ope.gnc_iters):
             levels, cur = (
                 (ope.pyramid_levels, pyramid)
@@ -132,9 +185,7 @@ def estimate_flow_batched(images_batch, method: str = "hs-brightness", mesh=None
             )
             cfg = ope._level_cfg(max_linear=1 if ignc == 0 else None)
             for level in range(levels - 1, -1, -1):
-                nsz = cur[level].shape[1:3]
-                uv = jax.vmap(lambda f: resample_flow(f, nsz))(uv)
-                uv = step(cfg, cur[level], uv, jnp.full((B,), alpha, ope.dtype))
+                uv = step(cfg, cur[level], uv, np.full((B,), alpha, npdt))
             if ope.gnc_iters > 1:
                 alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
         return uv

@@ -38,3 +38,34 @@ def test_gather_displaced_arbitrary_indices(rng):
     ix = rng.integers(0, W, (H, W)).astype(np.int32)
     got = np.asarray(gather_displaced(jnp.asarray(planes), jnp.asarray(iy), jnp.asarray(ix)))
     np.testing.assert_array_equal(got, planes[iy, ix])
+
+
+def test_gather_displaced_vmap_batched(rng):
+    """vmap must hit the custom batching rule (one batch-wide tier decision,
+    no per-element cond), and stay exact — including mixed in_axes."""
+    import jax
+
+    H, W, K, B = 24, 40, 4, 3
+    planes = rng.standard_normal((B, H, W, K)).astype(np.float32)
+    ii, jj = np.mgrid[0:H, 0:W]
+    iy = np.clip(ii + rng.integers(-3, 4, (B, H, W)), 0, H - 1).astype(np.int32)
+    ix = np.clip(jj + rng.integers(-3, 4, (B, H, W)), 0, W - 1).astype(np.int32)
+    expect = np.stack([planes[b][iy[b], ix[b]] for b in range(B)])
+
+    got = np.asarray(jax.jit(jax.vmap(gather_displaced))(planes, iy, ix))
+    np.testing.assert_array_equal(got, expect)
+
+    # shared planes across the batch (in_axes=(None, 0, 0))
+    got_shared = np.asarray(
+        jax.vmap(gather_displaced, in_axes=(None, 0, 0))(planes[0], iy, ix)
+    )
+    np.testing.assert_array_equal(
+        got_shared, np.stack([planes[0][iy[b], ix[b]] for b in range(B)])
+    )
+
+    # large displacement: batch-wide fallback branch
+    iy_big = rng.integers(0, H, (B, H, W)).astype(np.int32)
+    got_big = np.asarray(jax.vmap(gather_displaced)(planes, iy_big, ix))
+    np.testing.assert_array_equal(
+        got_big, np.stack([planes[b][iy_big[b], ix[b]] for b in range(B)])
+    )

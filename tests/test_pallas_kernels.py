@@ -69,3 +69,29 @@ def test_wmedian_guard():
     assert wmedian_pallas_ok(388, 584, 7, 3)
     assert wmedian_pallas_ok(2160, 3840, 7, 3)  # 4K: DMA windows scale to any size
     assert not wmedian_pallas_ok(100, 100, 15, 3)  # window exceeds static config
+
+
+def test_wmedian_kernel_vmap_batched(rng):
+    """vmap of the kernel routes through the custom batching rule (leading
+    batch GRID axis — a vmapped ANY-space pallas_call cannot lower on TPU)
+    and must equal the per-pair results bit-exactly."""
+    import jax
+
+    H, W, hsz, C, B = 40, 56, 7, 3, 3
+    Hp, Wp = H + 2 * hsz, W + 2 * hsz
+    u = rng.standard_normal((B, Hp, Wp)).astype(np.float32)
+    v = rng.standard_normal((B, Hp, Wp)).astype(np.float32)
+    occ = rng.uniform(0.1, 1.0, (B, Hp, Wp)).astype(np.float32)
+    col = rng.uniform(0, 255, (B, C, Hp, Wp)).astype(np.float32)
+
+    singles = [
+        np.asarray(wmedian_pallas(u[b], v[b], occ[b], col[b], (H, W), hsz, 7.0, True))
+        for b in range(B)
+    ]
+    batched = np.asarray(
+        jax.jit(
+            jax.vmap(lambda a, b_, c, d: wmedian_pallas(a, b_, c, d, (H, W), hsz, 7.0, True))
+        )(u, v, occ, col)
+    )
+    for b in range(B):
+        np.testing.assert_array_equal(batched[b], singles[b])
