@@ -48,16 +48,18 @@ def _rof_kernel(im_ref, out_ref, px_ref, py_ref, *, theta, n_iters):
     im = im_ref[:]
     px_ref[:] = jnp.zeros_like(im)
     py_ref[:] = jnp.zeros_like(im)
+    H, W = im.shape
+    # far-boundary zero masks (Mosaic has no scatter; iota compare is free)
+    mask_x = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) < W - 1).astype(im.dtype)
+    mask_y = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) < H - 1).astype(im.dtype)
 
     def body(_, carry):
         px = px_ref[:]
         py = py_ref[:]
         u = im + theta * _divergence(px, py)
         # forward-difference gradient, zero at far boundary
-        gx = _shift_left_pad0(u) - u
-        gx = gx.at[:, -1].set(0.0)
-        gy = _shift_up_pad0(u) - u
-        gy = gy.at[-1, :].set(0.0)
+        gx = (_shift_left_pad0(u) - u) * mask_x
+        gy = (_shift_up_pad0(u) - u) * mask_y
         px = px + delta * gx
         py = py + delta * gy
         norm = jnp.maximum(jnp.sqrt(px * px + py * py), 1.0)
