@@ -52,26 +52,16 @@ def main():
     # 'backslash' mapping here (AAE 2.500 both) and ~9% faster.
     params = {"display": False, "solver": "pcg"}
 
-    # warm-up: compile every level program, in parallel threads (the
-    # remote compile service handles concurrent requests)
+    # warm-up: on TPU the whole flow auto-fuses into ONE program (see
+    # BaseOpticalFlow.fuse), so the first call pays a single monolith
+    # compile (~100 s) instead of the old per-level warmup fan-out.
     t0 = time.time()
-    from optical_flow_tpu.config import load_of_method
-    from optical_flow_tpu.utils.warmup import warmup_classic_nl
-
-    wope = load_of_method("classic+nl-fast")
-    wope.display = False
-    wope.parse_input_parameter(params)
-    try:
-        warmup_classic_nl(wope, im1.shape[:2], color=True)
-        log(f"parallel warmup: {time.time() - t0:.1f}s")
-    except Exception as e:  # never let warm-up kill the benchmark
-        log(f"parallel warmup failed ({e}); falling back to serial")
     uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
     warm = time.time() - t0
     log(f"warmup total (incl. compile): {warm:.1f}s")
 
     best = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
         dt = time.time() - t0

@@ -283,7 +283,7 @@ class BAOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if (self.fuse and not self.display and self.checkpoint is None
+        if (self._fuse_enabled() and not self.display and self.checkpoint is None
                 and type(self) is BAOpticalFlow):
             return ba_flow_program(self._make_plan(sz), images, uv)
 

@@ -89,13 +89,14 @@ class BaseOpticalFlow:
         self.checkpoint = None
 
         # Fuse the whole coarse-to-fine flow into ONE jitted program
-        # (hs_flow_program / ba_flow_program / ...).  Kills host<->device
-        # dispatch latency, but XLA currently allocates each level loop's
-        # weighted-median patch stacks separately in the monolith, which
-        # OOMs HBM for Classic+NL at full resolution — off by default
-        # until the O(tile)-memory Pallas weighted median replaces the
-        # patch-stack formulation.  HS/BA monoliths compile fine.
-        self.fuse = False
+        # (hs_flow_program / ba_flow_program / ...).  None = 'auto': fuse on
+        # TPU, where the monolith both removes the per-level dispatch chain
+        # and compiles FASTER than the per-level warmup (103 s vs ~5 min for
+        # classic+nl-fast @584x388 on a v5e; same runtime and accuracy —
+        # the O(tile)-memory Pallas weighted median keeps HBM flat, where
+        # the XLA-sort patch stacks used to OOM the monolith).  CPU keeps
+        # per-level programs.  True/False force the choice.
+        self.fuse = None
 
         # Pyramid settings
         self.pyramid_levels = 4
@@ -156,6 +157,16 @@ class BaseOpticalFlow:
             int(self.sor_max_iters),
             float(self.sor_tol),
         )
+
+    def _fuse_enabled(self) -> bool:
+        """Resolve the ``fuse`` tri-state (see ``__init__``): None = 'auto'
+        fuses on TPU unless a spatial mesh routes levels through shard_map."""
+        if self.fuse is None:
+            return (
+                jax.default_backend() == "tpu"
+                and getattr(self, "spatial_mesh", None) is None
+            )
+        return bool(self.fuse)
 
     def _as_dtype(self, x):
         return jnp.asarray(x, dtype=self.dtype)

@@ -215,7 +215,7 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             if int(np.prod(color.shape[:2])) < sz[0] * sz[1]:
                 color = None
 
-        if (self.fuse and not self.display and gt is None
+        if (self._fuse_enabled() and self.spatial_mesh is None and not self.display and gt is None
                 and self.checkpoint is None and type(self) is ClassicNLOpticalFlow):
             from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
 

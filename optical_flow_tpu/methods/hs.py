@@ -188,7 +188,7 @@ class HSOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if self.fuse and not self.display and self.checkpoint is None:
+        if self._fuse_enabled() and not self.display and self.checkpoint is None:
             from optical_flow_tpu.ops.pyramid import pyramid_shapes
 
             self.pyramid_levels = self._auto_pyramid_levels(images)
