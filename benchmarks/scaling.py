@@ -43,7 +43,10 @@ def main():
 
     log("devices:", jax.devices())
     im1, im2, tu, tv = read_flow_file("RubberWhale", 10)
-    params = {"display": False, "solver": "pcg"}
+    # argv[2]: 'fused' (default; one vmapped whole-flow program per batch on
+    # TPU) or 'per-level' (fuse=False batched level programs)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    params = {"display": False, "solver": "pcg", "fuse": mode != "per-level"}
 
     sizes = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["1", "2", "4", "8"])]
     results = {}
@@ -79,7 +82,7 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"classic+nl-fast batched B={B} frames/s per chip @584x388",
+                    "metric": f"classic+nl-fast batched ({mode}) B={B} frames/s per chip @584x388",
                     "value": round(fps, 4),
                     "unit": "frames/s",
                     "vs_baseline": round(fps / (1.0 / 270.8), 2),

@@ -201,6 +201,31 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             use_color=use_color,
         )
 
+    def _make_nl_plan(self, sz, use_color: bool) -> NLFlowPlan:
+        """Static whole-flow schedule for ``classic_nl_flow_program``."""
+        from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+        if self.auto_level:
+            self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+        stages = tuple(
+            (self._nl_cfg(use_color=use_color, max_linear=1 if i == 0 else None), alpha)
+            for i, alpha in enumerate(self._gnc_alphas())
+        )
+        return NLFlowPlan(
+            preprocess=self._preprocess_kind(),
+            alp=float(self.alp),
+            levels=int(self.pyramid_levels),
+            spacing=float(self.pyramid_spacing),
+            gnc_levels=int(self.gnc_pyramid_levels),
+            gnc_spacing=float(self.gnc_pyramid_spacing),
+            shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+            gnc_shapes=tuple(
+                pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
+            ),
+            stages=stages,
+            use_color=use_color,
+        )
+
     # ------------------------------------------------------------------
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine with triple pyramids (``classic_nl.py:89-198``)."""
@@ -217,31 +242,7 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
 
         if (self._fuse_enabled() and self.spatial_mesh is None and not self.display and gt is None
                 and self.checkpoint is None and type(self) is ClassicNLOpticalFlow):
-            from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
-
-            if self.auto_level:
-                self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
-            stages = tuple(
-                (
-                    self._nl_cfg(use_color=color is not None, max_linear=1 if i == 0 else None),
-                    alpha,
-                )
-                for i, alpha in enumerate(self._gnc_alphas())
-            )
-            plan = NLFlowPlan(
-                preprocess=self._preprocess_kind(),
-                alp=float(self.alp),
-                levels=int(self.pyramid_levels),
-                spacing=float(self.pyramid_spacing),
-                gnc_levels=int(self.gnc_pyramid_levels),
-                gnc_spacing=float(self.gnc_pyramid_spacing),
-                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
-                gnc_shapes=tuple(
-                    pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
-                ),
-                stages=stages,
-                use_color=color is not None,
-            )
+            plan = self._make_nl_plan(sz, use_color=color is not None)
             if color is None:
                 color = jnp.zeros((1, 1), dtype=self.dtype)
             return classic_nl_flow_program(plan, images, color, uv)

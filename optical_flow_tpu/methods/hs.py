@@ -182,6 +182,27 @@ class HSOpticalFlow(BaseOpticalFlow):
             solver=self._solver_cfg(),
         )
 
+    def _make_plan(self, sz) -> HSFlowPlan:
+        """Static whole-flow schedule for ``hs_flow_program``.
+
+        HS recomputes the level count unconditionally (reference
+        ``hs.py:73-76``), unlike the IRLS methods' ``auto_level`` gate.
+        """
+        from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+        self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+        mfs = self.median_filter_size
+        if mfs is not None:
+            mfs = (int(mfs[0]), int(mfs[1])) if hasattr(mfs, "__len__") else (int(mfs), int(mfs))
+        return HSFlowPlan(
+            texture=bool(self.texture),
+            levels=int(self.pyramid_levels),
+            spacing=float(self.pyramid_spacing),
+            shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+            cfg=self._level_cfg(),
+            final_median=mfs,
+        )
+
     def compute_flow(self, init=None, gt=None):
         """Coarse-to-fine Horn–Schunck (``hs.py:49-99``)."""
         images = self._as_dtype(self.images)
@@ -189,21 +210,7 @@ class HSOpticalFlow(BaseOpticalFlow):
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
         if self._fuse_enabled() and not self.display and self.checkpoint is None:
-            from optical_flow_tpu.ops.pyramid import pyramid_shapes
-
-            self.pyramid_levels = self._auto_pyramid_levels(images)
-            mfs = self.median_filter_size
-            if mfs is not None:
-                mfs = (int(mfs[0]), int(mfs[1])) if hasattr(mfs, "__len__") else (int(mfs), int(mfs))
-            plan = HSFlowPlan(
-                texture=bool(self.texture),
-                levels=int(self.pyramid_levels),
-                spacing=float(self.pyramid_spacing),
-                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
-                cfg=self._level_cfg(),
-                final_median=mfs,
-            )
-            return hs_flow_program(plan, images, uv)
+            return hs_flow_program(self._make_plan(sz), images, uv)
 
         self.pyramid_levels = self._auto_pyramid_levels(images)
         pyramid = hs_prepare(

@@ -19,10 +19,11 @@ import jax.numpy as jnp
 from optical_flow_tpu.config import load_of_method
 from optical_flow_tpu.methods.classic_nl import (
     ClassicNLOpticalFlow,
+    classic_nl_flow_program,
     classic_nl_level_resampled,
 )
-from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_level_resampled
-from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_level_resampled
+from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_flow_program, hs_level_resampled
+from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_flow_program, ba_level_resampled
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
 from optical_flow_tpu.utils.compat import scale_image
 from optical_flow_tpu.parallel.mesh import BATCH_AXIS
@@ -41,6 +42,13 @@ def _vmapped(fn, n_array_args):
             static_argnums=(0,),
         )
     return _vmapped_cache[key]
+
+
+def _median_pair_sized(size, uv):
+    """(static size, uv) argument order for the :func:`_vmapped` helper."""
+    from optical_flow_tpu.methods.base import jit_median_pair
+
+    return jit_median_pair.__wrapped__(uv, size)
 
 
 _pyramid_cache = {}
@@ -104,11 +112,22 @@ def estimate_flow_batched(
     it, the plain-median fallback applies (the reference's own behavior
     when color is absent, ``weighted_median.py:42-47``).
 
+    On TPU (``fuse=None`` auto, like the single-pair path) each pair's
+    ENTIRE coarse-to-fine flow runs as one vmapped whole-flow program —
+    one dispatch per batch instead of one per pyramid level, which is what
+    makes batching pay on a 20-40 ms/dispatch link.  ``fuse=False`` (via
+    ``params``) keeps the per-level batched programs; a ``mesh`` also
+    forces per-level (the Pallas weighted-median call has no SPMD
+    partitioning rule, so the fused program cannot be sharded).
+
     Supports the HS / BA / Classic+NL method families.
     """
     ope = load_of_method(method)
     if params is not None:
         ope.parse_input_parameter(params)
+    if type(ope) not in (HSOpticalFlow, BAOpticalFlow, ClassicNLOpticalFlow):
+        # isinstance would silently run e.g. AltBA as its BA parent
+        raise ValueError(f"Batched estimation not supported for method '{method}'")
 
     images_batch = jnp.asarray(images_batch, dtype=ope.dtype)
     if mesh is not None:
@@ -121,6 +140,26 @@ def estimate_flow_batched(
                 jnp.asarray(color_batch, dtype=ope.dtype), sharding
             )
     B, H, W = images_batch.shape[:3]
+    npdt = np.dtype(ope.dtype)
+    fused = ope._fuse_enabled() and mesh is None
+
+    if fused:
+        uv0 = np.zeros((B, H, W, 2), dtype=npdt)
+        if type(ope) is HSOpticalFlow:
+            prog = _vmapped(hs_flow_program.__wrapped__, 2)
+            return prog(ope._make_plan((H, W)), images_batch, uv0)
+        if type(ope) is BAOpticalFlow:
+            prog = _vmapped(ba_flow_program.__wrapped__, 2)
+            return prog(ope._make_plan((H, W)), images_batch, uv0)
+        use_color = color_batch is not None
+        plan = ope._make_nl_plan((H, W), use_color=use_color)
+        color = (
+            jnp.asarray(color_batch, dtype=ope.dtype)
+            if use_color
+            else np.zeros((B, 1, 1), dtype=npdt)
+        )
+        prog = _vmapped(classic_nl_flow_program.__wrapped__, 3)
+        return prog(plan, images_batch, color, uv0)
 
     # preprocessing, batched (scale_image normalizes per pair)
     if ope.texture:
@@ -137,9 +176,8 @@ def estimate_flow_batched(
     # All per-level host work below is ONE jitted dispatch per level (the
     # flow resample rides inside the level program); alphas and the zero
     # init are numpy constants, so nothing in the loop dispatches eagerly.
-    uv = np.zeros((B, H, W, 2), dtype=np.dtype(ope.dtype))
+    uv = np.zeros((B, H, W, 2), dtype=npdt)
     alpha = 1.0
-    npdt = np.dtype(ope.dtype)
 
     if isinstance(ope, HSOpticalFlow):
         cfg = ope._level_cfg()
@@ -147,6 +185,10 @@ def estimate_flow_batched(
         step = _vmapped(hs_level_resampled.__wrapped__, 2)
         for level in range(ope.pyramid_levels - 1, -1, -1):
             uv = step(cfg, pyramid[level], uv)
+        if cfg.median_filter_size is not None:
+            # final median pass (reference hs.py:95-97) — the fused program
+            # applies it inside hs_flow_program
+            uv = _vmapped(_median_pair_sized, 1)(cfg.median_filter_size, uv)
         return uv
 
     if isinstance(ope, ClassicNLOpticalFlow):

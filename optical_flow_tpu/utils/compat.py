@@ -85,20 +85,14 @@ def rgb2lab(im):
     R, G, B = R * scale, G * scale, B * scale
 
     T = 0.008856
-    MAT = jnp.array(
-        [
-            [0.412453, 0.357580, 0.180423],
-            [0.212671, 0.715160, 0.072169],
-            [0.019334, 0.119193, 0.950227],
-        ],
-        dtype=im.dtype,
-    )
-    RGB = jnp.stack([R.ravel(), G.ravel(), B.ravel()])
-    XYZ = MAT @ RGB
-
-    X = XYZ[0] / 0.950456
-    Y = XYZ[1]
-    Z = XYZ[2] / 1.088754
+    # Explicit linear combinations, NOT a 3x3 matmul: TPU f32 matmuls
+    # truncate operands to bf16 (and XLA lowers the single-pair vs
+    # vmapped-batched contraction differently), which perturbed the Lab
+    # guide by up to ~1.4% and broke batched-vs-single flow parity.
+    # Elementwise FMAs stay exact f32 on the VPU in every batching mode.
+    X = (0.412453 * R + 0.357580 * G + 0.180423 * B) / 0.950456
+    Y = 0.212671 * R + 0.715160 * G + 0.072169 * B
+    Z = (0.019334 * R + 0.119193 * G + 0.950227 * B) / 1.088754
 
     XT, YT, ZT = X > T, Y > T, Z > T
     # cube roots are safe for the sub-threshold branch too (values >= 0)
@@ -108,8 +102,7 @@ def rgb2lab(im):
     fY = jnp.where(YT, Y3, 7.787 * Y + 16.0 / 116.0)
     fZ = jnp.where(ZT, cbrt(Z), 7.787 * Z + 16.0 / 116.0)
 
-    M, N = R.shape if R.ndim == 2 else im.shape[:2]
-    L = jnp.where(YT, 116.0 * Y3 - 16.0, 903.3 * Y).reshape(im.shape[:2])
-    a = (500.0 * (fX - fY)).reshape(im.shape[:2])
-    b = (200.0 * (fY - fZ)).reshape(im.shape[:2])
+    L = jnp.where(YT, 116.0 * Y3 - 16.0, 903.3 * Y)
+    a = 500.0 * (fX - fY)
+    b = 200.0 * (fY - fZ)
     return jnp.stack([L, a, b], axis=2)

@@ -177,3 +177,71 @@ def test_batched_classic_nl_carries_color_guide():
     for b in range(B):
         np.testing.assert_allclose(uv_b[b], uv_s, atol=1e-3)
         assert np.abs(uv_b[b] - uv_s).mean() < 1e-5
+
+
+@needs_8
+@pytest.mark.parametrize("method", ["hs-brightness", "classic-c-brightness"])
+def test_batched_fused_matches_per_level(synthetic_pair, method):
+    """fuse=True batched path (one vmapped whole-flow program — the TPU
+    default) must reproduce the per-level batched programs."""
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched
+
+    im1, im2 = synthetic_pair
+    images = np.stack([im1, im2], axis=-1)
+    batch = np.broadcast_to(images, (2, *images.shape))
+
+    uv_f = np.asarray(
+        estimate_flow_batched(batch, method, params={"display": False, "fuse": True})
+    )
+    uv_p = np.asarray(
+        estimate_flow_batched(batch, method, params={"display": False, "fuse": False})
+    )
+    assert uv_f.shape == uv_p.shape == (2, *images.shape[:2], 2)
+    # batch elements of one vmapped program may differ at float-rounding
+    # level (XLA tiles batched contractions across the batch dim), and the
+    # two execution paths reassociate reductions — same bound as the
+    # single-pair fused-vs-unfused test
+    np.testing.assert_allclose(uv_f[0], uv_f[1], atol=1e-4)
+    np.testing.assert_allclose(uv_f, uv_p, atol=5e-3)
+    assert np.abs(uv_f - uv_p).mean() < 1e-4
+
+
+def test_batched_fused_classic_nl_color(synthetic_pair):
+    """Fused batched Classic+NL carries the color guide and matches the
+    fused single-pair flagship."""
+    from optical_flow_tpu.interface import estimate_flow
+    from optical_flow_tpu.parallel.batch import (
+        estimate_flow_batched,
+        preprocess_color_batch,
+    )
+
+    im1g, im2g = synthetic_pair
+    im1 = np.stack([im1g, im1g * 0.8, im1g * 0.5], -1)
+    im2 = np.stack([im2g, im2g * 0.8, im2g * 0.5], -1)
+    B = 2
+    im1_b = np.broadcast_to(im1, (B, *im1.shape))
+    im2_b = np.broadcast_to(im2, (B, *im2.shape))
+
+    jax.clear_caches()
+    uv_s = np.asarray(
+        estimate_flow(im1, im2, "classic+nl-fast", {"display": False, "fuse": True})
+    )
+    images_b, color_b = preprocess_color_batch(im1_b, im2_b)
+    uv_b = np.asarray(
+        estimate_flow_batched(
+            images_b, "classic+nl-fast",
+            params={"display": False, "fuse": True}, color_batch=color_b,
+        )
+    )
+    np.testing.assert_allclose(uv_b[0], uv_b[1], atol=1e-4)
+    np.testing.assert_allclose(uv_b[0], uv_s, atol=1e-3)
+    assert np.abs(uv_b[0] - uv_s).mean() < 1e-5
+
+
+def test_batched_alt_ba_rejected():
+    """AltBA subclasses BA — the batched path must refuse it rather than
+    silently running the parent method."""
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched
+
+    with pytest.raises(ValueError, match="classic-c-a"):
+        estimate_flow_batched(np.zeros((1, 16, 16, 2)), "classic-c-a")
