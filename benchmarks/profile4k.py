@@ -1,12 +1,23 @@
 #!/usr/bin/env python
-"""4K (3840x2160) single-chip profile: end-to-end + per-component breakdown.
+"""4K stage profile: where does the time go at 3840x2160?
 
-VERDICT r1 item 9: where do the 4K seconds go?  Times the fused and
-per-level classic+nl-fast paths end to end, then isolates the finest-level
-hot components (bicubic warp read, weighted median, occlusion, one IRLS
-linearization+solve) as individually-synchronized jitted calls on real 4K
-data.  Emits one JSON line per measurement to stdout; progress on stderr.
+Times each pipeline stage of classic+nl-fast at the finest (full-res)
+pyramid level — the level that dominates end-to-end wall time — plus the
+preprocessing / pyramid build, and the end-to-end flow.  Each stage is its
+own jitted program, warmed once and timed over `--reps` repeats with device
+synchronization.
+
+Accounting: at 4K, classic+nl-fast runs its finest level in both GNC
+stages (3 warp iterations each, max_linear=1), so e2e wall time should be
+roughly  preprocess + pyramids + 6 x (warp_deriv + solve + occlusion +
+wmedian) at full res  + the coarser-level tail.
+
+    python benchmarks/profile4k.py [--reps 3] [--fused]
+
+Writes benchmarks/results_4k_profile.json and prints a table to stderr;
+stdout stays clean (one JSON line).
 """
+import argparse
 import json
 import os
 import sys
@@ -14,116 +25,217 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 
-import numpy as np  # noqa: E402
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit(name, seconds, **kw):
-    print(
-        json.dumps({"metric": name, "value": round(seconds, 4), "unit": "s", **kw}),
-        flush=True,
-    )
+def _sync(out):
+    """Force execution to completion and return `out`.
 
-
-def timed(fn, *args, reps=2, warm=1):
-    import jax
-
-    for _ in range(warm):
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def main():
+    Over the axon tunnel `jax.block_until_ready` returns at ENQUEUE, not at
+    completion (measured: 53 ms block vs 5.4 s actual compute on a 20-matmul
+    program), so the only reliable sync is fetching data to host.  Fetch one
+    element of the last output leaf: the slice depends on the whole program
+    having executed, and the host transfer is 4 bytes, not the full 4K array.
+    """
     import jax
     import jax.numpy as jnp
 
-    from optical_flow_tpu.interface import estimate_flow
-    from optical_flow_tpu.io.flo import read_flow_file
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+    float(jnp.ravel(leaves[-1])[0].astype(jnp.float32))
+    return out
 
-    log("devices:", jax.devices())
-    H, W = 2160, 3840
-    im1s, im2s, _, _ = read_flow_file("RubberWhale", 10)
-    reps = (-(-H // im1s.shape[0]), -(-W // im1s.shape[1]), 1)
-    im1 = np.tile(im1s, reps)[:H, :W]
-    im2 = np.tile(im2s, reps)[:H, :W]
 
-    # ---- end to end ----
-    for name, params in [
-        ("per-level", {"display": False, "solver": "pcg", "fuse": False}),
-        ("fused", {"display": False, "solver": "pcg"}),
-    ]:
-        t0 = time.time()
-        uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
-        log(f"4K {name} warmup (incl. compile): {time.time() - t0:.1f}s")
-        best = float("inf")
-        for i in range(2):
-            t0 = time.time()
-            uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
-            dt = time.time() - t0
-            best = min(best, dt)
-            log(f"4K {name} run {i}: {dt:.2f}s")
-        emit(f"classic+nl-fast 4K {name} s/frame", best,
-             finite=bool(np.isfinite(uv).all()))
+def timed(fn, *args, reps=3):
+    """Jit `fn` with a scalar checksum folded into the program; warm once,
+    then best-of-reps wall time, synced by fetching the 4-byte checksum.
 
-    # ---- finest-level component isolation ----
+    The checksum lives INSIDE the jitted program so the timed region contains
+    zero eager dispatches (each eager op over the tunnel costs ~0.4 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    def with_checksum(*a):
+        out = fn(*a)
+        leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
+        return out, jnp.ravel(leaves[-1])[0].astype(jnp.float32)
+
+    cfn = jax.jit(with_checksum)
+    out, chk = cfn(*args)
+    float(chk)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, chk = cfn(*args)
+        float(chk)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def timed_host(fn, *args, reps=3):
+    """Like `timed` for host-orchestrated pipelines (not jittable as one
+    program): sync via an eager one-element fetch.  The ~0.5 s eager-dispatch
+    overhead is fine for the multi-second end-to-end measurements."""
+    out = _sync(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = _sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--width", type=int, default=3840)
+    ap.add_argument("--fused", action="store_true", help="also time the fused monolith e2e")
+    ap.add_argument("--skip-e2e", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
     from optical_flow_tpu.config import load_of_method
-    from optical_flow_tpu.interface import _preprocess_color_pair
-    from optical_flow_tpu.methods.ba import _preprocess_traced, _blended_solve
+    from optical_flow_tpu.methods.ba import _blended_solve, irls_prepare
     from optical_flow_tpu.ops.derivatives import precompute_warp, warp_deriv
     from optical_flow_tpu.ops.occlusion import detect_occlusion
+    from optical_flow_tpu.ops.pyramid import auto_pyramid_levels
     from optical_flow_tpu.ops.wmedian import denoise_color_weighted_medfilt2
 
-    ope = load_of_method("classic+nl-fast")
-    ope.parse_input_parameter({"solver": "pcg"})
-    cfg = ope._nl_cfg(use_color=True, max_linear=1)
-    irls = cfg.irls
-
-    rgb1 = np.tile(np.asarray(im1s)[..., None], (1, 1, 3))
-    images_s, lab1 = _preprocess_color_pair(
-        jnp.asarray(np.tile(rgb1, reps)[:H, :W], jnp.float32),
-        jnp.asarray(np.tile(rgb1, reps)[:H, :W], jnp.float32),
-    )
-    images = jnp.stack([jnp.asarray(im1, jnp.float32), jnp.asarray(im2, jnp.float32)], -1)
-    proc = jax.jit(lambda x: _preprocess_traced("texture", x, 0.95))(images)
+    log("devices:", jax.devices())
+    H, W = args.height, args.width
     rng = np.random.default_rng(0)
-    uv = jnp.asarray(rng.uniform(-1, 1, (H, W, 2)), jnp.float32)
+    from scipy.ndimage import gaussian_filter
 
-    df = np.array(irls.deriv_filter)
-    pre = jax.block_until_ready(
-        jax.jit(lambda im: precompute_warp(im, irls.interp, df, irls.blend))(proc)
-    )
-    t = timed(jax.jit(lambda p, f: warp_deriv(p, f)), pre, uv)
-    emit("4K finest-level warp+derivs (bicubic) s", t)
+    base = gaussian_filter(rng.uniform(0, 255, (H, W)), 1.5).astype(np.float32)
+    im2 = np.roll(base, 2, axis=1)
+    images = jnp.stack([jnp.asarray(base), jnp.asarray(im2)], 2)
 
-    It, Ix, Iy = jax.jit(lambda p, f: warp_deriv(p, f))(pre, uv)
-    t = timed(
-        jax.jit(
-            lambda u, t_, x_, y_, a: _blended_solve(irls, u, jnp.zeros_like(u), t_, x_, y_, a)
-        ),
-        uv, It, Ix, Iy, jnp.asarray(0.0, jnp.float32),
-    )
-    emit("4K finest-level IRLS+PCG solve s", t)
+    ope = load_of_method("classic+nl-fast")
+    ope.display = False
+    cfg = ope._nl_cfg(use_color=False, max_linear=1)
+    irls = cfg.irls
+    levels = auto_pyramid_levels((H, W), ope.pyramid_spacing)
+    log(f"profiling {W}x{H}, pyramid levels={levels}, "
+        f"warp_iters={irls.max_iters} x gnc_stages={ope.gnc_iters}")
 
-    t = timed(jax.jit(lambda u, im: detect_occlusion(u, im)), uv, proc)
-    emit("4K finest-level occlusion s", t)
+    stages = {}
 
-    occ = jax.jit(lambda u, im: detect_occlusion(u, im))(uv, proc)
-    wm = jax.jit(
-        lambda u, c, o: denoise_color_weighted_medfilt2(
-            u, c, o, cfg.area_hsz, irls.median_filter_size, cfg.sigma_i, cfg.full_version
+    # --- preprocessing: ROF structure-texture + both texture pyramids ----
+    prep = jax.jit(
+        lambda im: irls_prepare(
+            im, ope._preprocess_kind(), float(ope.alp), levels,
+            float(ope.pyramid_spacing),
+            (int(ope.gnc_pyramid_levels), float(ope.gnc_pyramid_spacing)),
         )
     )
-    t = timed(wm, uv, lab1, occ)
-    emit("4K finest-level color-weighted median s", t)
+    dt, (pyr, gnc_pyr) = timed(prep, images, reps=args.reps)
+    stages["rof+pyramids"] = dt
+    proc = pyr[0]
+
+    # --- finest-level components (what the warp loop runs 6x at full res)
+    uv = jnp.zeros((H, W, 2), dtype=jnp.float32)
+
+    from optical_flow_tpu.ops.derivatives import WarpPrecompute
+
+    # WarpPrecompute carries static leaves (method str, blend float); only the
+    # array fields may cross the jit boundary.
+    def pre_arrays(im):
+        p = precompute_warp(im, irls.interp, np.array(irls.deriv_filter), irls.blend)
+        return (p.im1, p.I1x, p.I1y, p.warp_tables, p.hermite_tables)
+
+    dt, arrs = timed(jax.jit(pre_arrays), proc, reps=args.reps)
+    stages["precompute_warp (spline prefilter)"] = dt
+
+    # realistic sub-pixel flow so the gather hits the sweep path like a real run
+    uv_live = uv + 0.3 * jnp.sin(jnp.arange(H * W * 2, dtype=jnp.float32).reshape(H, W, 2))
+
+    def wd(arrs, f):
+        p = WarpPrecompute(irls.interp, float(irls.blend), *arrs)
+        return warp_deriv(p, f)
+
+    wd_fn = jax.jit(wd)
+    dt, (It, Ix, Iy) = timed(wd_fn, arrs, uv_live, reps=args.reps)
+    stages["warp_deriv (bicubic warp gathers)"] = dt
+
+    solve_fn = jax.jit(
+        lambda uv, duv, It, Ix, Iy, a: _blended_solve(irls, uv, duv, It, Ix, Iy, a)
+    )
+    z = jnp.zeros_like(uv)
+    dt, duv = timed(solve_fn, uv_live, z, It, Ix, Iy, jnp.float32(0.5), reps=args.reps)
+    stages["irls system + PCG solve"] = dt
+
+    occ_fn = jax.jit(lambda f, im: detect_occlusion(f, im))
+    dt, occ = timed(occ_fn, uv_live, proc, reps=args.reps)
+    stages["occlusion"] = dt
+
+    wm_fn = jax.jit(
+        lambda f, o: denoise_color_weighted_medfilt2(
+            f, None, o, cfg.area_hsz, irls.median_filter_size, cfg.sigma_i,
+            cfg.full_version,
+        )
+    )
+    dt, _ = timed(wm_fn, uv_live, occ, reps=args.reps)
+    stages["weighted median"] = dt
+
+    per_iter = (
+        stages["warp_deriv (bicubic warp gathers)"]
+        + stages["irls system + PCG solve"]
+        + stages["occlusion"]
+        + stages["weighted median"]
+    )
+    finest_iters = 2 * irls.max_iters  # finest level runs in both GNC stages
+    accounted = stages["rof+pyramids"] + 2 * stages["precompute_warp (spline prefilter)"] + finest_iters * per_iter
+
+    # --- end-to-end -------------------------------------------------------
+    results = {
+        "shape": [H, W],
+        "levels": levels,
+        "stages_s": {k: round(v, 4) for k, v in stages.items()},
+        "per_warp_iter_s": round(per_iter, 4),
+        "finest_level_iters": finest_iters,
+        "accounted_s": round(accounted, 3),
+    }
+
+    if not args.skip_e2e:
+        ope2 = load_of_method("classic+nl-fast")
+        ope2.display = False
+        ope2.fuse = False  # per-level programs: comparable to the r1 number
+        ope2.images = images
+        dt, _ = timed_host(lambda: ope2.compute_flow(), reps=max(1, args.reps - 1))
+        results["e2e_perlevel_s"] = round(dt, 3)
+        log(f"e2e (per-level): {dt:.2f}s  accounted: {accounted:.2f}s")
+
+    if args.fused:
+        ope3 = load_of_method("classic+nl-fast")
+        ope3.display = False
+        ope3.fuse = True
+        ope3.images = images
+        dt, _ = timed_host(lambda: ope3.compute_flow(), reps=max(1, args.reps - 1))
+        results["e2e_fused_s"] = round(dt, 3)
+        log(f"e2e (fused): {dt:.2f}s")
+
+    width = max(len(k) for k in stages)
+    for k, v in stages.items():
+        log(f"  {k:<{width}}  {v * 1000:9.1f} ms")
+    log(f"  {'per warp iter (x' + str(finest_iters) + ' at full res)':<{width}}  {per_iter * 1000:9.1f} ms")
+
+    out_path = os.path.join(REPO, "benchmarks", "results_4k_profile.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({
+        "metric": f"classic+nl-fast s/frame @{W}x{H}",
+        "value": results.get("e2e_perlevel_s", results["accounted_s"]),
+        "unit": "s",
+        **{k: v for k, v in results.items() if k != "stages_s"},
+    }))
 
 
 if __name__ == "__main__":
