@@ -11,20 +11,37 @@ import jax
 import jax.numpy as jnp
 
 from optical_flow_tpu.config import load_of_method
-from optical_flow_tpu.utils.compat import rgb2gray, rgb2lab, scale_image
+from optical_flow_tpu.utils.compat import preprocess_color_pair
 
 
 @jax.jit
 def _preprocess_color_pair(im1, im2):
     """Grayscale pair + [0,255]-scaled Lab guide, as ONE device program."""
-    gray1 = rgb2gray(im1)
-    gray2 = rgb2gray(im2)
-    images = jnp.stack([gray1, gray2], axis=2)
-    lab1 = rgb2lab(im1)
-    lab1 = jnp.stack(
-        [scale_image(lab1[:, :, j], 0, 255) for j in range(lab1.shape[2])], axis=2
-    )
-    return images, lab1
+    return preprocess_color_pair(im1, im2)
+
+
+def _ship_exact(im, dtype):
+    """Device-transfer an image in its smallest exact representation.
+
+    PNG-decoded frames are integral values in [0, 255] even when stored as
+    float — shipping them as uint8 quarters the bytes crossing the (slow)
+    host link, and the in-program float cast reproduces the float pipeline
+    bit-exactly.
+    """
+    if im.dtype == np.uint8:
+        return jnp.asarray(im)
+    if (
+        im.size
+        and np.issubdtype(im.dtype, np.floating)
+        and np.all((im >= 0) & (im <= 255))
+        and np.all(im == np.floor(im))
+    ):
+        return jnp.asarray(im.astype(np.uint8))
+    if np.issubdtype(im.dtype, np.integer):
+        if im.size and im.min() >= 0 and im.max() <= 255:
+            return jnp.asarray(im.astype(np.uint8))
+        return jnp.asarray(im.astype(np.int32))
+    return jnp.asarray(im, dtype=dtype)
 
 
 @jax.jit
@@ -48,14 +65,28 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=N
     Returns:
         uv: (H, W, 2) flow; uv[..., 0] horizontal, uv[..., 1] vertical.
     """
-    im1 = np.asarray(im1, dtype=float)
-    im2 = np.asarray(im2, dtype=float)
+    im1 = np.asarray(im1)
+    im2 = np.asarray(im2)
 
     ope = load_of_method(method)
     if params is not None:
         ope.parse_input_parameter(params)
     if mesh is not None:
         ope.spatial_mesh = mesh
+
+    # Fused single-dispatch path: preprocessing folded into the whole-flow
+    # monolith, frames shipped raw (uint8 when exact).  Falls through to the
+    # per-stage path when the method doesn't fuse (CPU default, display,
+    # checkpointing, spatial mesh, ...).
+    if im1.ndim == 3 and im1.shape[2] >= 3 and im2.shape == im1.shape:
+        uv = ope.compute_flow_from_rgb(
+            _ship_exact(im1, ope.dtype), _ship_exact(im2, ope.dtype)
+        )
+        if uv is not None:
+            return uv
+
+    im1 = im1.astype(float)
+    im2 = im2.astype(float)
 
     lab1 = None
     if im1.ndim == 3 and im1.shape[2] >= 3:

@@ -163,6 +163,18 @@ def alt_ba_flow_program(plan: AltBAFlowPlan, images, uv, uvhat):
     return uvhat
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def alt_ba_flow_from_rgb(plan: AltBAFlowPlan, im1, im2, dtype):
+    """rgb2gray preprocessing + the whole Alt-BA flow as one device program."""
+    from optical_flow_tpu.utils.compat import rgb2gray
+
+    im1 = jnp.asarray(im1, dtype)
+    im2 = jnp.asarray(im2, dtype)
+    images = jnp.stack([rgb2gray(im1), rgb2gray(im2)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return alt_ba_flow_program(plan, images, uv, uv)
+
+
 class AltBAOpticalFlow(BAOpticalFlow):
     """Alternative BA with coupled auxiliary field."""
 
@@ -219,6 +231,38 @@ class AltBAOpticalFlow(BAOpticalFlow):
             iters_lo=int(self.itersLO),
         )
 
+    def _make_alt_plan(self, sz) -> AltBAFlowPlan:
+        from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
+
+        self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
+        stages = tuple(
+            (self._alt_cfg(), alpha, i != self.gnc_iters - 1)
+            for i, alpha in enumerate(self._gnc_alphas())
+        )
+        return AltBAFlowPlan(
+            texture=bool(self.texture),
+            levels=int(self.pyramid_levels),
+            spacing=float(self.pyramid_spacing),
+            gnc_levels=int(self.gnc_pyramid_levels),
+            gnc_spacing=float(self.gnc_pyramid_spacing),
+            shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
+            gnc_shapes=tuple(
+                pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
+            ),
+            stages=stages,
+        )
+
+    def compute_flow_from_rgb(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is AltBAOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return alt_ba_flow_from_rgb(self._make_alt_plan(sz), im1, im2, self.dtype)
+
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""
         images = self._as_dtype(self.images)
@@ -227,26 +271,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
         uvhat = uv
 
         if self._fuse_enabled() and not self.display and gt is None and self.checkpoint is None:
-            from optical_flow_tpu.ops.pyramid import auto_pyramid_levels, pyramid_shapes
-
-            self.pyramid_levels = auto_pyramid_levels(sz, self.pyramid_spacing)
-            stages = tuple(
-                (self._alt_cfg(), alpha, i != self.gnc_iters - 1)
-                for i, alpha in enumerate(self._gnc_alphas())
-            )
-            plan = AltBAFlowPlan(
-                texture=bool(self.texture),
-                levels=int(self.pyramid_levels),
-                spacing=float(self.pyramid_spacing),
-                gnc_levels=int(self.gnc_pyramid_levels),
-                gnc_spacing=float(self.gnc_pyramid_spacing),
-                shapes=tuple(pyramid_shapes(sz, self.pyramid_levels, 1.0 / self.pyramid_spacing)),
-                gnc_shapes=tuple(
-                    pyramid_shapes(sz, self.gnc_pyramid_levels, 1.0 / self.gnc_pyramid_spacing)
-                ),
-                stages=stages,
-            )
-            return alt_ba_flow_program(plan, images, uv, uvhat)
+            return alt_ba_flow_program(self._make_alt_plan(sz), images, uv, uvhat)
 
         self.pyramid_levels = self._auto_pyramid_levels(images)
         # the reference's Alt-BA texture path uses the default alp=0.95

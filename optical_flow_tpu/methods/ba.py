@@ -172,6 +172,18 @@ def ba_flow_program(plan: BAFlowPlan, images, uv):
     return uv
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def ba_flow_from_rgb(plan: "BAFlowPlan", im1, im2, dtype):
+    """rgb2gray preprocessing + the whole BA flow as one device program."""
+    from optical_flow_tpu.utils.compat import rgb2gray
+
+    im1 = jnp.asarray(im1, dtype)
+    im2 = jnp.asarray(im2, dtype)
+    images = jnp.stack([rgb2gray(im1), rgb2gray(im2)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return ba_flow_program(plan, images, uv)
+
+
 class BAOpticalFlow(BaseOpticalFlow):
     """Black & Anandan optical flow with robust estimation and GNC."""
 
@@ -277,6 +289,17 @@ class BAOpticalFlow(BaseOpticalFlow):
         )
 
     # ------------------------------------------------------------------
+    def compute_flow_from_rgb(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is BAOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return ba_flow_from_rgb(self._make_plan(sz), im1, im2, self.dtype)
+
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine estimation (``ba.py:57-138``)."""
         images = self._as_dtype(self.images)

@@ -172,6 +172,19 @@ class BaseOpticalFlow:
         return jnp.asarray(x, dtype=self.dtype)
 
     # ------------------------------------------------------------------
+    def compute_flow_from_rgb(self, im1, im2):
+        """Whole flow from raw (H, W, 3) frames as ONE device program.
+
+        Methods with a fused whole-flow program override this to fold the
+        reference's host-side preprocessing (``interface.py:46-64``) into
+        the monolith: the frame pair crosses the host link once (as uint8
+        when exact) and a single dispatch covers rgb2gray/rgb2lab, pyramid
+        builds, and every level solve.  Returns None when the fused path
+        does not apply (then :func:`estimate_flow` falls back to the
+        per-level path).
+        """
+        return None
+
     def compute_flow(self, init=None, gt=None):
         raise NotImplementedError
 

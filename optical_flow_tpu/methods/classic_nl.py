@@ -137,6 +137,28 @@ def classic_nl_flow_program(plan: NLFlowPlan, images, color, uv):
     return uv
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def classic_nl_flow_from_rgb(plan: NLFlowPlan, im1, im2, dtype):
+    """Preprocessing + the whole Classic+NL flow as one device program.
+
+    Folds the reference's host-side rgb2gray / rgb2lab / [0,255] rescale
+    (``interface.py:46-64``) into the monolith so the raw frame pair (uint8
+    when exact) is the only host->device transfer and ONE dispatch covers
+    the entire estimation.
+    """
+    from optical_flow_tpu.utils.compat import preprocess_color_pair, rgb2gray
+
+    im1 = jnp.asarray(im1, dtype)
+    im2 = jnp.asarray(im2, dtype)
+    if plan.use_color:
+        images, color = preprocess_color_pair(im1, im2)
+    else:
+        images = jnp.stack([rgb2gray(im1), rgb2gray(im2)], axis=2)
+        color = jnp.zeros((1, 1), dtype)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return classic_nl_flow_program(plan, images, color, uv)
+
+
 class ClassicNLOpticalFlow(BAOpticalFlow):
     """Classic+NL with generalized Charbonnier penalties and NL term."""
 
@@ -227,6 +249,19 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
         )
 
     # ------------------------------------------------------------------
+    def compute_flow_from_rgb(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and self.spatial_mesh is None
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is ClassicNLOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        plan = self._make_nl_plan(sz, use_color=self.color_images is not None)
+        return classic_nl_flow_from_rgb(plan, im1, im2, self.dtype)
+
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine with triple pyramids (``classic_nl.py:89-198``)."""
         images = self._as_dtype(self.images)

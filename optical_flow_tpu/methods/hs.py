@@ -144,6 +144,18 @@ def hs_flow_program(plan: HSFlowPlan, images, uv):
     return uv
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def hs_flow_from_rgb(plan: HSFlowPlan, im1, im2, dtype):
+    """rgb2gray preprocessing + the whole HS flow as one device program."""
+    from optical_flow_tpu.utils.compat import rgb2gray
+
+    im1 = jnp.asarray(im1, dtype)
+    im2 = jnp.asarray(im2, dtype)
+    images = jnp.stack([rgb2gray(im1), rgb2gray(im2)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return hs_flow_program(plan, images, uv)
+
+
 class HSOpticalFlow(BaseOpticalFlow):
     """Horn–Schunck with quadratic penalty and Laplacian spatial term."""
 
@@ -202,6 +214,17 @@ class HSOpticalFlow(BaseOpticalFlow):
             cfg=self._level_cfg(),
             final_median=mfs,
         )
+
+    def compute_flow_from_rgb(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is HSOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return hs_flow_from_rgb(self._make_plan(sz), im1, im2, self.dtype)
 
     def compute_flow(self, init=None, gt=None):
         """Coarse-to-fine Horn–Schunck (``hs.py:49-99``)."""

@@ -92,6 +92,71 @@ def preprocess_color_batch(im1_batch, im2_batch, dtype=jnp.float32):
     return jax.jit(jax.vmap(_preprocess_color_pair.__wrapped__))(im1_batch, im2_batch)
 
 
+_rgb_prog_cache = {}
+
+
+def _vmapped_rgb(fn):
+    """jit(vmap(flow_from_rgb)) with (plan, im1, im2, dtype) argument order."""
+    if fn not in _rgb_prog_cache:
+        _rgb_prog_cache[fn] = jax.jit(
+            jax.vmap(fn, in_axes=(None, 0, 0, None)), static_argnums=(0, 3)
+        )
+    return _rgb_prog_cache[fn]
+
+
+def estimate_flow_batched_rgb(
+    im1_batch,
+    im2_batch,
+    method: str = "classic+nl-fast",
+    mesh=None,
+    params=None,
+):
+    """(B, H, W, 3) RGB frame pairs -> (B, H, W, 2) flows, ONE program.
+
+    The batched analog of the single-pair from-RGB path: rgb2gray/rgb2lab
+    preprocessing is folded into the vmapped whole-flow monolith and the
+    frames ship in their smallest exact representation (uint8 for PNG-style
+    integral data) — the serving shape: raw frames in, flows out, one
+    dispatch per batch.  Falls back to ``preprocess_color_batch`` +
+    :func:`estimate_flow_batched` when the method doesn't fuse (CPU
+    default, or ``fuse=False`` / ``mesh`` given).
+    """
+    from optical_flow_tpu.interface import _ship_exact
+    from optical_flow_tpu.methods.hs import hs_flow_from_rgb
+    from optical_flow_tpu.methods.ba import ba_flow_from_rgb
+    from optical_flow_tpu.methods.classic_nl import classic_nl_flow_from_rgb
+
+    ope = load_of_method(method)
+    if params is not None:
+        ope.parse_input_parameter(params)
+    if type(ope) not in (HSOpticalFlow, BAOpticalFlow, ClassicNLOpticalFlow):
+        raise ValueError(f"Batched estimation not supported for method '{method}'")
+
+    im1_batch = np.asarray(im1_batch)
+    im2_batch = np.asarray(im2_batch)
+    H, W = im1_batch.shape[1:3]
+
+    if ope._fuse_enabled() and mesh is None:
+        a1 = _ship_exact(im1_batch, ope.dtype)
+        a2 = _ship_exact(im2_batch, ope.dtype)
+        if type(ope) is HSOpticalFlow:
+            prog = _vmapped_rgb(hs_flow_from_rgb.__wrapped__)
+            return prog(ope._make_plan((H, W)), a1, a2, ope.dtype)
+        if type(ope) is BAOpticalFlow:
+            prog = _vmapped_rgb(ba_flow_from_rgb.__wrapped__)
+            return prog(ope._make_plan((H, W)), a1, a2, ope.dtype)
+        plan = ope._make_nl_plan((H, W), use_color=ope.color_images is not None)
+        prog = _vmapped_rgb(classic_nl_flow_from_rgb.__wrapped__)
+        return prog(plan, a1, a2, ope.dtype)
+
+    images, color = preprocess_color_batch(im1_batch, im2_batch, dtype=ope.dtype)
+    want_color = ope.color_images is not None and type(ope) is ClassicNLOpticalFlow
+    return estimate_flow_batched(
+        images, method, mesh=mesh, params=params,
+        color_batch=color if want_color else None,
+    )
+
+
 def estimate_flow_batched(
     images_batch,
     method: str = "hs-brightness",

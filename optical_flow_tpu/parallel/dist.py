@@ -85,8 +85,9 @@ def solve_flow_system_local(
     diag = sharded_system_diag_local(sys, axis_name)
     apply_A = lambda x: sharded_system_apply_local(sys, x, axis_name)
     dot = lambda a, c: lax.psum(jnp.sum(a * c), axis_name)
+    # a12 is per-pixel local: the block-Jacobi preconditioner shards freely
     return pcg_solve(
-        apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot, sync_axes=sync_axes
+        apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot, sync_axes=sync_axes, a12=sys.a12
     )
 
 

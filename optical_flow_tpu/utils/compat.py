@@ -71,6 +71,22 @@ def rgb2gray(im):
     return jnp.floor(gray + 0.5)
 
 
+def preprocess_color_pair(im1, im2):
+    """Grayscale pair + [0,255]-scaled Lab guide (traceable, one fusion).
+
+    The preprocessing the reference does host-side before ``compute_flow``
+    (``interface.py:46-64``), expressed as pure jnp so it can be folded into
+    a whole-flow device program — the frame pair then crosses the host link
+    once, as raw (uint8) frames, and everything downstream is one dispatch.
+    """
+    gray = jnp.stack([rgb2gray(im1), rgb2gray(im2)], axis=2)
+    lab = rgb2lab(im1)
+    lab = jnp.stack(
+        [scale_image(lab[:, :, j], 0, 255) for j in range(lab.shape[2])], axis=2
+    )
+    return gray, lab
+
+
 def rgb2lab(im):
     """RGB -> CIE Lab with BT.709 primaries and D65 white point.
 

@@ -72,3 +72,17 @@ def synthetic_pair():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_per_module():
+    """Clear JAX executable caches at every module boundary.
+
+    This jaxlib's XLA:CPU aborts the process ("Fatal Python error: Aborted")
+    on a large compile once hundreds of executables from earlier modules are
+    live — the whole-flow monoliths (test_fused, test_methods) are the usual
+    trigger.  Modules rarely share compiled programs, so per-module clearing
+    costs little and keeps the full suite inside one stable process.
+    """
+    yield
+    jax.clear_caches()

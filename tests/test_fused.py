@@ -36,6 +36,79 @@ def test_fused_matches_unfused(rng, method):
     assert np.abs(uv_b - uv_a).mean() < 1e-4
 
 
+def _rgb_pair(rng, h=40, w=44):
+    im1 = rng.integers(0, 256, (h, w, 3)).astype(np.float64)
+    im2 = np.roll(im1, 1, axis=1)
+    im2[:, 0] = rng.integers(0, 256, (h, 3))
+    return im1, im2
+
+
+@pytest.mark.parametrize("method", ["hs", "ba", "classic+nl-fast", "classic-c-a"])
+def test_from_rgb_single_dispatch_matches_per_stage(rng, method):
+    """estimate_flow's fused from-RGB monolith == the per-stage path.
+
+    Covers the uint8 shipping too: PNG-style integral float frames must take
+    the uint8 transfer and reproduce the float pipeline exactly.
+    """
+    from optical_flow_tpu.interface import estimate_flow
+
+    im1, im2 = _rgb_pair(rng)
+    params = {"display": False}
+    if method == "classic-c-a":
+        params["max_iters"] = 4
+    uv_fused = np.asarray(estimate_flow(im1, im2, method, {**params, "fuse": True}))
+    uv_plain = np.asarray(estimate_flow(im1, im2, method, {**params, "fuse": False}))
+    assert np.isfinite(uv_fused).all()
+    np.testing.assert_allclose(uv_fused, uv_plain, atol=5e-3)
+    assert np.abs(uv_fused - uv_plain).mean() < 1e-4
+    # uint8 ndarray input lands on the same jitted program (cache hit) and
+    # must give the identical flow
+    uv_u8 = np.asarray(
+        estimate_flow(im1.astype(np.uint8), im2.astype(np.uint8), method, {**params, "fuse": True})
+    )
+    np.testing.assert_array_equal(uv_u8, uv_fused)
+
+
+def test_ship_exact_representations():
+    from optical_flow_tpu.interface import _ship_exact
+
+    f = np.arange(12, dtype=np.float64).reshape(3, 4)
+    assert _ship_exact(f, jnp.float32).dtype == np.uint8  # integral in [0,255]
+    assert _ship_exact(f + 0.5, jnp.float32).dtype == jnp.float32
+    assert _ship_exact(f * 100, jnp.float32).dtype == jnp.float32  # 1100 > 255
+    assert _ship_exact(f.astype(np.uint8), jnp.float32).dtype == np.uint8
+    assert _ship_exact(f.astype(np.int64), jnp.float32).dtype == np.uint8
+    assert _ship_exact((f * 100).astype(np.int64), jnp.float32).dtype == np.int32
+
+
+def test_batched_from_rgb_matches_single(rng):
+    """Vmapped from-RGB monolith == per-pair from-RGB monolith, with color."""
+    from optical_flow_tpu.interface import estimate_flow
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched_rgb
+
+    from scipy.ndimage import gaussian_filter
+
+    B = 3
+
+    def smooth_rgb():
+        # smooth + integral frames: tie-prone random data flips weighted-
+        # median selections under reassociated vmap reductions; real frames
+        # (what this path serves) are smooth, and integral values keep the
+        # uint8 shipping path on
+        chans = [gaussian_filter(rng.uniform(0, 1, (32, 36)), 1.5) for _ in range(3)]
+        x = np.stack(chans, -1)
+        return np.round(255 * (x - x.min()) / np.ptp(x))
+
+    im1b = np.stack([smooth_rgb() for _ in range(B)])
+    im2b = np.roll(im1b, 1, axis=2)
+    params = {"display": False, "fuse": True}
+    uvb = np.asarray(estimate_flow_batched_rgb(im1b, im2b, "classic+nl-fast", params=params))
+    assert uvb.shape == (B, 32, 36, 2)
+    for i in range(B):
+        uv1 = np.asarray(estimate_flow(im1b[i], im2b[i], "classic+nl-fast", params))
+        np.testing.assert_allclose(uvb[i], uv1, atol=5e-3)
+
+
 def test_video_sequence(rng):
     from optical_flow_tpu.parallel.video import estimate_flow_video
 

@@ -1,7 +1,18 @@
 """Pallas TPU kernels, verified in interpreter mode against the XLA paths."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """Interpret-mode kernel compiles are large (K2 unrolled slices); with a
+    full suite's worth of live executables XLA:CPU's next big compile can
+    abort the process (same issue test_parallel.py works around).  Start
+    these tests from a clean compilation cache."""
+    jax.clear_caches()
+    yield
 
 from optical_flow_tpu.ops.pallas.rof_kernel import rof_structure_2d_pallas
 from optical_flow_tpu.ops.pallas.wmedian_kernel import wmedian_pallas, wmedian_pallas_ok
