@@ -5,31 +5,37 @@ in HBM and key-value sorts them — ~200 MB of temporaries per call and a
 bitonic sort over the patch axis.  This kernel computes the identical
 weighted median with O(tile) VMEM and no sort:
 
-* float32 order is isomorphic to signed int32 order under a sign-magnitude
-  flip (TPU vectors have no unsigned min/max), so the weighted median is:
-  the smallest key ``m`` with  S(m) = sum of weights of values <= m  >=
-  total/2.  32 rounds of integer bisection over the key space find ``m``
-  exactly — the invariant S(lo) < total/2 <= S(hi) contracts to adjacent
-  integers, and since S only jumps at present values, ``hi`` lands exactly
-  on a sample.  This reproduces the reference's sort+cumsum+searchsorted
+* float32 values are encoded into *order-isomorphic* signed int32 keys
+  (sign-magnitude flip; TPU vectors have no unsigned min/max), so the
+  weighted median becomes: the smallest key ``m`` with
+  S(m) = sum of weights of keys <= m  >=  total/2.
+* 32 rounds of integer bisection over the key space find ``m`` exactly —
+  the invariant S(lo) < total/2 <= S(hi) contracts to adjacent integers,
+  and since S only jumps at present keys, ``hi`` lands exactly on a
+  sample.  This reproduces the reference's sort+cumsum+searchsorted
   selection (``weighted_median.py:5-21``) without ordering any data.
-* Both flow fields bisect in the SAME loop: each round makes one fused VPU
-  pass over the (TILE_H, K2, TILE_W) key/weight slabs, so the shared weight
-  slab is read once per round (not once per field) and the two dependence
-  chains interleave.  Comparisons stay in int key space — decoding midpoint
-  keys to float thresholds would pass through the denormal range, which the
-  TPU flushes to zero, corrupting the selection near 0.
-* The grid tiles the image (8 rows x TILE_W cols per program; TILE_W picked
-  per image width to minimize lane padding).  Each program DMAs its input
-  windows from HBM into VMEM scratch, carves the K2 patch offsets out with
-  *static* value slices (TPU alignment rules: static offsets are free,
-  dynamic offsets must be tile-aligned), and keeps the (8, K2, TILE_W)
-  weight/value stacks in VMEM.  HBM sees each input pixel ~once per
-  overlapping window.
+* The grid tiles the image (8 rows x 256 cols per program).  Each program
+  DMAs its (32, 384) input windows from HBM into VMEM scratch, carves the
+  225 patch offsets out with *static* value slices (TPU alignment rules:
+  static offsets are free, dynamic offsets must be tile-aligned), and
+  keeps the (8, 225, 256) weight/key stacks in VMEM.  Every bisection
+  step is one fused VPU pass over the stacks; HBM sees each input pixel
+  ~once per overlapping window.
 
 Because inputs stay in HBM and only windows are DMA'd, the kernel scales
 to arbitrary image sizes (4K included).  Mirror padding and the (H, W)
 crop are handled by the wrapper.
+
+Tile-shape study (v5e, 584x388, hsz=7, measured best-of-3 on 30-call jitted
+loops): 8x256 per-field bisection 12.59 ms/call; 8x128 15.19; 16x128 14.21;
+8x128 with both fields fused into one 32-round loop (3 VMEM slabs) 14.41;
+8x256 fused OOMs Mosaic's 16 MB scoped VMEM (3 slabs + the result tensor),
+as does 8x384 per-field.  Lane width dominates: 256-lane ops amortize issue
+overhead better than the 17% padding saved by narrower tiles, and the
+fused-loop traffic saving (~25% fewer slab reads) does not survive the
+narrower tile it forces.  The kernel runs ~2.8 TB/s of VMEM reads — near
+the VPU load roofline — so the remaining lever is fewer bisection rounds,
+and the round count is pinned at 32 by sign-straddling key spans.
 """
 from __future__ import annotations
 
@@ -42,33 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
-_TILE_W_CHOICES = (128, 256, 384, 512)
+TILE_W = 256
 _ROW_WINDOW = 32  # >= TILE_H + 2*hsz for hsz <= 12, 8-aligned
-_COL_PAD = 128  # window = TILE_W + _COL_PAD >= TILE_W + 2*hsz, 128-aligned
+_COL_WINDOW = 384  # >= TILE_W + 2*hsz, 128-aligned
 
 _SIGN = np.int32(np.uint32(0x80000000).view(np.int32))  # int32 min
-
-
-# Mosaic's scoped-VMEM limit is 16 MB and is SHARED with whatever other
-# buffers are live at the call site inside a fused monolith (the kernel's
-# result tensor itself lands in VMEM when a downstream fusion consumes it),
-# so the kernel keeps its own footprint well under half of it.
-_VMEM_BUDGET = 8 * 1024 * 1024
-
-
-def _tile_bytes(tile_w: int, hsz: int, C: int) -> int:
-    K2 = (2 * hsz + 1) ** 2
-    windows = (3 + C) * _ROW_WINDOW * (tile_w + _COL_PAD) * 4
-    scratch = 3 * TILE_H * K2 * tile_w * 4
-    return windows + scratch
-
-
-def _pick_tile_w(W: int, hsz: int, C: int) -> int:
-    """Narrowest VMEM-feasible tile among those minimizing the padded width."""
-    feasible = [tw for tw in _TILE_W_CHOICES if _tile_bytes(tw, hsz, C) <= _VMEM_BUDGET]
-    if not feasible:
-        return _TILE_W_CHOICES[0]
-    return min(feasible, key=lambda tw: (-(-W // tw) * tw, tw))
 
 
 def _encode_f32(x):
@@ -103,39 +87,36 @@ def _wmedian_kernel(
     occ_win,
     color_win,
     w_s,
-    ku_s,
-    kv_s,
+    k_s,
     copy_sem,
     *,
     hsz: int,
     n_chan: int,
     inv_2sigma2: float,
-    tile_w: int,
 ):
     k = 2 * hsz + 1
     K2 = k * k
-    col_window = tile_w + _COL_PAD
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     r0 = pl.multiple_of(i * TILE_H, TILE_H)
-    c0 = pl.multiple_of(j * tile_w, 128)
+    c0 = pl.multiple_of(j * TILE_W, 128)
 
     # DMA this program's input windows from HBM into VMEM.  Inputs carry a
     # leading batch axis (grid dim 0): the SAME kernel serves the single-pair
     # path (B=1) and the vmapped batched path (custom_vmap routes here).
     copies = [
         pltpu.make_async_copy(
-            u_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, col_window)], u_win, copy_sem.at[0]
+            u_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], u_win, copy_sem.at[0]
         ),
         pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, col_window)], v_win, copy_sem.at[1]
+            v_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], v_win, copy_sem.at[1]
         ),
         pltpu.make_async_copy(
-            occ_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, col_window)], occ_win, copy_sem.at[2]
+            occ_hbm.at[b, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)], occ_win, copy_sem.at[2]
         ),
         pltpu.make_async_copy(
-            color_hbm.at[b, :, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, col_window)],
+            color_hbm.at[b, :, pl.ds(r0, _ROW_WINDOW), pl.ds(c0, _COL_WINDOW)],
             color_win,
             copy_sem.at[3],
         ),
@@ -146,62 +127,49 @@ def _wmedian_kernel(
         c.wait()
 
     Bo = occ_win[:]
-    Bu = u_win[:]
-    Bv = v_win[:]
     Bc = [color_win[c] for c in range(n_chan)]
-    centers = [B[hsz : hsz + TILE_H, hsz : hsz + tile_w] for B in Bc]
+    centers = [B[hsz : hsz + TILE_H, hsz : hsz + TILE_W] for B in Bc]
 
-    # ---- one pass: weights + key slabs + per-field key min/max -------------
-    total = jnp.zeros((TILE_H, tile_w), jnp.float32)
-    umin = umax = vmin = vmax = None
+    # ---- weights: one static slice chain per patch offset -----------------
+    total = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for o in range(K2):
         dy, dx = o // k, o % k
-        cdiff = jnp.zeros((TILE_H, tile_w), jnp.float32)
+        cdiff = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for c in range(n_chan):
-            patch = Bc[c][dy : dy + TILE_H, dx : dx + tile_w]
+            patch = Bc[c][dy : dy + TILE_H, dx : dx + TILE_W]
             cdiff = cdiff + (patch - centers[c]) ** 2
-        occ = Bo[dy : dy + TILE_H, dx : dx + tile_w]
+        occ = Bo[dy : dy + TILE_H, dx : dx + TILE_W]
         w = jnp.maximum(jnp.exp(-cdiff * inv_2sigma2) * occ, 1e-10)
         w_s[:, o, :] = w
         total = total + w
-        ku = _encode_f32(Bu[dy : dy + TILE_H, dx : dx + tile_w])
-        kv = _encode_f32(Bv[dy : dy + TILE_H, dx : dx + tile_w])
-        ku_s[:, o, :] = ku
-        kv_s[:, o, :] = kv
-        if o == 0:
-            umin = umax = ku
-            vmin = vmax = kv
-        else:
-            umin, umax = jnp.minimum(umin, ku), jnp.maximum(umax, ku)
-            vmin, vmax = jnp.minimum(vmin, kv), jnp.maximum(vmax, kv)
     half = total * 0.5
 
-    # S(lo) must be < half: step just below the smallest present key
-    # (finite float32 never encodes to int32 min, so this cannot wrap)
-    lou, hiu = umin - 1, umax
-    lov, hiv = vmin - 1, vmax
+    def field_median(B, out_channel):
+        lo = jnp.full((TILE_H, TILE_W), 0x7FFFFFFF, jnp.int32)
+        hi = jnp.full((TILE_H, TILE_W), _SIGN, jnp.int32)
+        for o in range(K2):
+            dy, dx = o // k, o % k
+            keys = _encode_f32(B[dy : dy + TILE_H, dx : dx + TILE_W])
+            k_s[:, o, :] = keys
+            lo = jnp.minimum(lo, keys)
+            hi = jnp.maximum(hi, keys)
+        # S(lo) must be < half: step just below the smallest present key
+        # (finite float32 never encodes to int32 min, so this cannot wrap)
+        lo = lo - 1
 
-    def bisect(_, carry):
-        lou, hiu, lov, hiv = carry
-        midu = _midpoint(lou, hiu)[:, None, :]
-        midv = _midpoint(lov, hiv)[:, None, :]
-        w = w_s[:]
-        Su = jnp.sum(jnp.where(ku_s[:] <= midu, w, 0.0), axis=1)
-        Sv = jnp.sum(jnp.where(kv_s[:] <= midv, w, 0.0), axis=1)
-        geu = Su >= half
-        gev = Sv >= half
-        midu = midu[:, 0, :]
-        midv = midv[:, 0, :]
-        return (
-            jnp.where(geu, lou, midu),
-            jnp.where(geu, midu, hiu),
-            jnp.where(gev, lov, midv),
-            jnp.where(gev, midv, hiv),
-        )
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = _midpoint(lo, hi)
+            below = jnp.where(k_s[:] <= mid[:, None, :], w_s[:], 0.0)
+            S = jnp.sum(below, axis=1)
+            ge = S >= half
+            return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
 
-    lou, hiu, lov, hiv = jax.lax.fori_loop(0, 32, bisect, (lou, hiu, lov, hiv))
-    out_ref[0, :, :, 0] = _decode_i32(hiu)
-    out_ref[0, :, :, 1] = _decode_i32(hiv)
+        lo, hi = jax.lax.fori_loop(0, 32, bisect, (lo, hi))
+        out_ref[0, :, :, out_channel] = _decode_i32(hi)
+
+    field_median(u_win[:], 0)
+    field_median(v_win[:], 1)
 
 
 def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
@@ -209,17 +177,14 @@ def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
     -> (B, H, W, 2) medians, one pallas_call with a leading batch grid axis."""
     B = u.shape[0]
     H, W = out_hw
-    C = color.shape[1]
-    tile_w = _pick_tile_w(W, hsz, C)
-    col_window = tile_w + _COL_PAD
     n_row = -(-H // TILE_H)
-    n_col = -(-W // tile_w)
+    n_col = -(-W // TILE_W)
+    C = color.shape[1]
     kernel = functools.partial(
         _wmedian_kernel,
         hsz=hsz,
         n_chan=C,
         inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
-        tile_w=tile_w,
     )
     K2 = (2 * hsz + 1) ** 2
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
@@ -227,20 +192,19 @@ def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
         kernel,
         grid=(B, n_row, n_col),
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_row * TILE_H, n_col * tile_w, 2), jnp.float32
+            (B, n_row * TILE_H, n_col * TILE_W, 2), jnp.float32
         ),
         in_specs=[hbm(), hbm(), hbm(), hbm()],
         out_specs=pl.BlockSpec(
-            (1, TILE_H, tile_w, 2), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+            (1, TILE_H, TILE_W, 2), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_ROW_WINDOW, col_window), jnp.float32),  # u window
-            pltpu.VMEM((_ROW_WINDOW, col_window), jnp.float32),  # v window
-            pltpu.VMEM((_ROW_WINDOW, col_window), jnp.float32),  # occ window
-            pltpu.VMEM((C, _ROW_WINDOW, col_window), jnp.float32),  # color window
-            pltpu.VMEM((TILE_H, K2, tile_w), jnp.float32),  # weights
-            pltpu.VMEM((TILE_H, K2, tile_w), jnp.int32),  # u keys
-            pltpu.VMEM((TILE_H, K2, tile_w), jnp.int32),  # v keys
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # u window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # v window
+            pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # occ window
+            pltpu.VMEM((C, _ROW_WINDOW, _COL_WINDOW), jnp.float32),  # color window
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
@@ -298,12 +262,10 @@ def wmedian_pallas(
     """
     H, W = out_hw
     hsz = int(area_hsz)
-    tile_w = _pick_tile_w(W, hsz, color_pad_cmajor.shape[0])
-    col_window = tile_w + _COL_PAD
     n_row = -(-H // TILE_H)
-    n_col = -(-W // tile_w)
+    n_col = -(-W // TILE_W)
     Hp = n_row * TILE_H + (_ROW_WINDOW - TILE_H)
-    Wp = (n_col - 1) * tile_w + col_window
+    Wp = (n_col - 1) * TILE_W + _COL_WINDOW
 
     def fit(x, axes):
         cfg = [(0, 0)] * x.ndim
@@ -320,8 +282,11 @@ def wmedian_pallas(
     return dispatch(u_pad, v_pad, occ_pad, color_pad_cmajor)
 
 
-def wmedian_pallas_ok(H, W, hsz, C, budget_bytes: int = _VMEM_BUDGET) -> bool:
+def wmedian_pallas_ok(H, W, hsz, C, budget_bytes: int = 13 * 1024 * 1024) -> bool:
     """True when the kernel's static window/scratch configuration applies."""
-    if TILE_H + 2 * hsz > _ROW_WINDOW or 2 * hsz > _COL_PAD:
+    if TILE_H + 2 * hsz > _ROW_WINDOW or TILE_W + 2 * hsz > _COL_WINDOW:
         return False
-    return _tile_bytes(_pick_tile_w(W, hsz, C), hsz, C) <= budget_bytes
+    K2 = (2 * hsz + 1) ** 2
+    windows = (3 + C) * _ROW_WINDOW * _COL_WINDOW * 4
+    scratch = 2 * TILE_H * K2 * TILE_W * 4
+    return windows + scratch <= budget_bytes
