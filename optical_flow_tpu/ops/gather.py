@@ -88,20 +88,30 @@ def gather_planes(planes, iy, ix):
     )
 
 
-# Single sweep tier: (2D+1)^2 unrolled shifted views per tier makes both
-# compile time and code size quadratic in D, so one moderate tier + the
-# gather fallback is the sweet spot.
-_SWEEP_TIERS = (5,)
-_MAX_TIER = _SWEEP_TIERS[-1]
+# Max displacement magnitude the sweep's static padding covers; larger
+# motions take the per-plane gather fallback (on-device lax.cond).
+_MAX_TIER = 5
 
 
 def _gather_displaced_impl(planes, iy, ix):
-    """Displacement-tiered sweep over (B, H, W, K) planes / (B, H, W) indices.
+    """Displacement-rectangle sweep over (B, H, W, K) planes / (B, H, W) indices.
 
-    The tier test uses ONE scalar D = max displacement over the whole batch,
-    so ``lax.cond`` stays a true branch (a vmapped cond with a batched
-    predicate would execute BOTH branches — sweep + slow per-plane gather —
-    for every element; this is why batching is claimed via custom_vmap).
+    The sweep iterates ONLY the runtime displacement rectangle
+    [min(di)..max(di)] x [min(dj)..max(dj)] with a dynamic-trip-count
+    ``while_loop`` — not the full (2D+1)^2 square sized by the max
+    magnitude.  Real flow fields concentrate in a small range (e.g.
+    RubberWhale's finest level spans ~4x4 offsets inside the 11x11 D<=5
+    square), so the number of full-stack passes drops by ~5-10x with
+    identical results; the worst case equals the old square sweep.  One
+    dynamic-slice body compiles once (an unrolled version runs marginally
+    faster but costs ~2 s of compile per shifted view on the remote AOT
+    compiler).
+
+    The feasibility test uses ONE scalar D = max displacement over the whole
+    batch, so ``lax.cond`` stays a true branch (a vmapped cond with a
+    batched predicate would execute BOTH branches — sweep + slow per-plane
+    gather — for every element; this is why batching is claimed via
+    custom_vmap).
     """
     B, H, W, K = planes.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -114,28 +124,35 @@ def _gather_displaced_impl(planes, iy, ix):
         planes, ((0, 0), (_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0))
     )
 
-    def sweep(DT: int):
-        # fori_loop over the (2DT+1)^2 offsets: the body (one dynamic slice
-        # + masked accumulate) compiles ONCE — an unrolled version runs
-        # marginally faster but costs ~2s of compile per shifted view on
-        # the remote AOT compiler.
-        n = 2 * DT + 1
-        base = _MAX_TIER - DT
+    def sweep():
+        dylo, dyhi = jnp.min(di), jnp.max(di)
+        dxlo, dxhi = jnp.min(dj), jnp.max(dj)
+        wdx = dxhi - dxlo + 1
+        num = (dyhi - dylo + 1) * wdx
+        n = 2 * _MAX_TIER + 1
+        code = (di + _MAX_TIER) * n + (dj + _MAX_TIER)
 
-        def run():
-            code = (di + DT) * n + (dj + DT)
+        def cond(state):
+            t, _ = state
+            return t < num
 
-            def body(o, acc):
-                dy = o // n
-                dx = o % n
-                view = jax.lax.dynamic_slice(
-                    P, (0, base + dy, base + dx, 0), (B, H, W, K)
-                )
-                return acc + jnp.where((code == o)[:, :, :, None], view, 0.0)
+        def body(state):
+            t, acc = state
+            dy = dylo + t // wdx
+            dx = dxlo + t % wdx
+            zero = jnp.int32(0)
+            view = jax.lax.dynamic_slice(
+                P,
+                (zero, jnp.int32(_MAX_TIER) + dy, jnp.int32(_MAX_TIER) + dx, zero),
+                (B, H, W, K),
+            )
+            hit = code == (dy + _MAX_TIER) * n + (dx + _MAX_TIER)
+            return t + 1, acc + jnp.where(hit[:, :, :, None], view, 0.0)
 
-            return jax.lax.fori_loop(0, n * n, body, jnp.zeros_like(planes))
-
-        return run
+        _, out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros_like(planes))
+        )
+        return out
 
     def fallback():
         def one(args):
@@ -144,12 +161,7 @@ def _gather_displaced_impl(planes, iy, ix):
 
         return jax.lax.map(one, (planes, iy, ix))
 
-    result = fallback
-    for tier in reversed(_SWEEP_TIERS):
-        result = (lambda t, rest: lambda: jax.lax.cond(D <= t, sweep(t), rest))(
-            tier, result
-        )
-    return result()
+    return jax.lax.cond(D <= _MAX_TIER, sweep, fallback)
 
 
 @jax.custom_batching.custom_vmap
