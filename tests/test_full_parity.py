@@ -138,6 +138,29 @@ def test_alt_ba_divergence_parity(reference_pkg, rng):
     assert np.abs(uv).max() > 1e20  # same blow-up dynamics
 
 
+@pytest.mark.slow
+def test_alt_ba_divergence_parity_real_crop(reference_pkg, data_dir):
+    """classic-c-a's default config also blows up on a REAL RubberWhale
+    crop — the reference reaches max|uv| ~1e48 (finite only because f64
+    holds it; f32 overflows the same trajectory to inf).  Measured here so
+    the cross-method ladder can cite an executed check, not a comment."""
+    from optical_flow_tpu.io.flo import read_flow_file
+
+    im1, im2, _, _ = read_flow_file("RubberWhale", 10, data_dir)
+    im1c, im2c = im1[:160, :192], im2[:160, :192]
+
+    import optical_flow as ref
+
+    ref_uv = np.asarray(ref.estimate_flow(im1c, im2c, "classic-c-a"))
+    assert np.abs(ref_uv).max() > 1e20  # measured 1.2e48
+
+    from optical_flow_tpu.interface import estimate_flow
+
+    uv = np.asarray(estimate_flow(im1c, im2c, "classic-c-a", {"display": False}))
+    blown = ~np.isfinite(uv) | (np.abs(uv) > 1e20)
+    assert blown.any()  # same blow-up dynamics
+
+
 def _smooth_pair(rng, h, w):
     from scipy.ndimage import gaussian_filter
 
