@@ -109,6 +109,23 @@ def test_batched_from_rgb_matches_single(rng):
         np.testing.assert_allclose(uvb[i], uv1, atol=5e-3)
 
 
+def test_stream_matches_per_pair(rng):
+    """Pipelined stream yields the same flows as synchronous per-pair calls."""
+    from optical_flow_tpu.interface import estimate_flow
+    from optical_flow_tpu.parallel.video import estimate_flow_stream
+
+    pairs = []
+    base = rng.uniform(0, 255, (40, 48))
+    for t in range(3):
+        pairs.append((np.roll(base, t, axis=1), np.roll(base, t + 1, axis=1)))
+    params = {"display": False}
+    streamed = list(estimate_flow_stream(pairs, "hs-brightness", params, max_in_flight=2))
+    assert len(streamed) == 3
+    for (im1, im2), uv_s in zip(pairs, streamed):
+        uv = np.asarray(estimate_flow(im1, im2, "hs-brightness", params))
+        np.testing.assert_array_equal(uv_s, uv)
+
+
 def test_video_sequence(rng):
     from optical_flow_tpu.parallel.video import estimate_flow_video
 
