@@ -31,6 +31,25 @@ def test_checkpoint_during_compute_flow(tmp_path, rng):
     np.testing.assert_allclose(saved, uv, atol=1e-5)
 
 
+def test_warmup_precompiles_level_programs(rng):
+    """warmup_classic_nl pre-compiles every program of a per-level run: a
+    subsequent compute_flow (fuse=False path on CPU) reuses the jit caches
+    and produces the normal result."""
+    from optical_flow_tpu.utils.warmup import warmup_classic_nl
+
+    H, W = 32, 36
+    ope = load_of_method("classic+nl-fast")
+    ope.display = False
+    ope.color_images = None  # grayscale run: plain-median fallback
+    warmup_classic_nl(ope, (H, W), color=False, max_workers=4)
+
+    im = rng.uniform(0, 255, (H, W))
+    ope.images = jnp.stack([jnp.asarray(im), jnp.asarray(np.roll(im, 1, axis=1))], 2)
+    uv = np.asarray(ope.compute_flow())
+    assert uv.shape == (H, W, 2)
+    assert np.isfinite(uv).all()
+
+
 def test_stage_timer():
     t = StageTimer()
     with t.stage("a"):
