@@ -26,6 +26,7 @@ from optical_flow_tpu.viz.flow_color import flow_to_color, make_colorwheel, comp
 from optical_flow_tpu.viz.plot_flow import plot_flow
 from optical_flow_tpu.evaluation.metrics import flow_angular_error
 from optical_flow_tpu.config import load_of_method
+from optical_flow_tpu.parallel.video import estimate_flow_stream, estimate_flow_video
 
 __all__ = [
     "estimate_flow",
@@ -38,6 +39,8 @@ __all__ = [
     "plot_flow",
     "flow_angular_error",
     "load_of_method",
+    "estimate_flow_stream",
+    "estimate_flow_video",
 ]
 
 __version__ = "0.1.0"
