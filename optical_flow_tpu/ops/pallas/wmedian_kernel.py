@@ -36,6 +36,15 @@ fused-loop traffic saving (~25% fewer slab reads) does not survive the
 narrower tile it forces.  The kernel runs ~2.8 TB/s of VMEM reads — near
 the VPU load roofline — so the remaining lever is fewer bisection rounds,
 and the round count is pinned at 32 by sign-straddling key spans.
+
+Also measured and rejected: a two-phase int16 key split (16 rounds over
+the high halves, re-mask weights, 16 rounds over the low halves) — halves
+the key bytes per round but runs 17.6 ms vs 13.4 in the same process: the
+v5e has no packed-i16 vector compare, so every round pays an i16->i32
+sign-extension that costs more issue slots than the load saving (the loop
+is issue-bound, not byte-bound).  Hoisting the key encode out of the fill
+loop (encode the window once, slice per offset) measured a wash
+(12.7 vs 12.8 ms) — Mosaic already CSEs the per-offset encodes.
 """
 from __future__ import annotations
 
@@ -187,6 +196,10 @@ def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
         inv_2sigma2=float(1.0 / (2.0 * sigma_i**2)),
     )
     K2 = (2 * hsz + 1) ** 2
+    stacks = [
+        pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
+        pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
+    ]
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
         kernel,
@@ -203,8 +216,7 @@ def _wmedian_call(u, v, occ, color, *, out_hw, hsz, sigma_i, interpret):
             pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # v window
             pltpu.VMEM((_ROW_WINDOW, _COL_WINDOW), jnp.float32),  # occ window
             pltpu.VMEM((C, _ROW_WINDOW, _COL_WINDOW), jnp.float32),  # color window
-            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.float32),
-            pltpu.VMEM((TILE_H, K2, TILE_W), jnp.int32),
+            *stacks,
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

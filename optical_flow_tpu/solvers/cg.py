@@ -19,6 +19,8 @@ reductions become ``psum`` over the mesh — see
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,24 @@ from optical_flow_tpu.ops.stencil import (
     system_diag,
     system_rhs,
 )
+
+# 'auto' | 'pallas' | 'xla' — 'auto' routes f32 solves that fit VMEM
+# through the whole-PCG Mosaic kernel on TPU (ops/pallas/cg_kernel.py):
+# the XLA while_loop streams the system through HBM every iteration
+# (~0.41 ms/solve at 388x584), the kernel keeps it VMEM-resident
+# (~0.01-0.07 ms/solve; whole-frame 0.286 -> 0.247 s, same AAE/AEPE).
+CG_IMPL = os.environ.get("OFTPU_CG_IMPL", "auto")
+
+
+def _use_cg_kernel(sys: FlowSystem) -> bool:
+    if CG_IMPL == "xla":
+        return False
+    from optical_flow_tpu.ops.pallas.cg_kernel import cg_pallas_ok
+
+    fits = sys.a11.dtype == jnp.float32 and cg_pallas_ok(*sys.a11.shape)
+    if CG_IMPL == "pallas":
+        return fits
+    return fits and jax.default_backend() == "tpu"
 
 
 def _dot(a, b):
@@ -134,6 +154,16 @@ def solve_flow_system(
     ``sor_omega`` / ``sor_max_iters`` / ``sor_tol`` attributes through
     ``BaseOpticalFlow._solver_cfg``.
     """
+    if solver in ("pcg", "backslash") and x0 is None and _use_cg_kernel(sys):
+        from optical_flow_tpu.ops.pallas.cg_kernel import cg_solve_pallas
+
+        rt, mi = (
+            (pcg_rtol, pcg_maxiter)
+            if solver == "pcg"
+            else (backslash_rtol, backslash_maxiter)
+        )
+        return cg_solve_pallas(sys, rt, mi, interpret=jax.default_backend() != "tpu")
+
     b = system_rhs(sys)
     diag = system_diag(sys)
     apply_A = lambda x: system_apply(sys, x)

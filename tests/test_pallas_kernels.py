@@ -82,6 +82,64 @@ def test_wmedian_guard():
     assert not wmedian_pallas_ok(100, 100, 15, 3)  # window exceeds static config
 
 
+def _random_system(rng, H, W):
+    from optical_flow_tpu.ops.stencil import FlowSystem
+
+    def f32(*s):
+        return jnp.asarray(rng.uniform(0.1, 1.0, s), jnp.float32)
+
+    wu_h = f32(H, W).at[:, -1].set(0)
+    wu_v = f32(H, W).at[-1, :].set(0)
+    wv_h = f32(H, W).at[:, -1].set(0)
+    wv_v = f32(H, W).at[-1, :].set(0)
+    return FlowSystem(
+        f32(H, W) + 1.0, 0.5 * f32(H, W), f32(H, W) + 1.0,
+        wu_h, wu_v, wv_h, wv_v, f32(H, W), f32(H, W),
+    )
+
+
+def test_cg_kernel_matches_xla_pcg(rng):
+    """The VMEM-resident whole-PCG kernel solves the same system to the
+    same tolerance as the XLA while_loop (reduction order may differ, so
+    compare solutions, tightly)."""
+    from optical_flow_tpu.ops.pallas.cg_kernel import cg_solve_pallas
+    from optical_flow_tpu.ops.stencil import system_apply, system_diag, system_rhs
+    from optical_flow_tpu.solvers.cg import pcg_solve
+
+    sysm = _random_system(rng, 30, 132)  # non-multiple of (8, 128)
+    b = system_rhs(sysm)
+    x_ref = np.asarray(
+        pcg_solve(lambda y: system_apply(sysm, y), b, system_diag(sysm),
+                  1e-7, 1000, a12=sysm.a12)
+    )
+    x_k = np.asarray(cg_solve_pallas(sysm, 1e-7, 1000, interpret=True))
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(x_k, x_ref, atol=1e-5 * max(scale, 1.0))
+    # residual actually below tolerance
+    r = np.asarray(system_apply(sysm, jnp.asarray(x_k))) - np.asarray(b)
+    assert np.linalg.norm(r) <= 1e-6 * np.linalg.norm(np.asarray(b)) * 10
+
+
+def test_cg_kernel_vmap_batched(rng):
+    """vmap routes through the custom batching rule (leading batch GRID
+    axis); each batch element converges independently."""
+    import jax
+
+    from optical_flow_tpu.ops.stencil import FlowSystem
+    from optical_flow_tpu.ops.pallas.cg_kernel import cg_solve_pallas
+
+    B, H, W = 3, 24, 40
+    systems = [_random_system(rng, H, W) for _ in range(B)]
+    batched = FlowSystem(*[jnp.stack([getattr(s, f) for s in systems])
+                           for f in FlowSystem._fields])
+    singles = [np.asarray(cg_solve_pallas(s, 1e-6, 400, interpret=True)) for s in systems]
+    out = np.asarray(
+        jax.jit(jax.vmap(lambda s: cg_solve_pallas(s, 1e-6, 400, interpret=True)))(batched)
+    )
+    for b in range(B):
+        np.testing.assert_allclose(out[b], singles[b], atol=1e-5)
+
+
 def test_wmedian_kernel_vmap_batched(rng):
     """vmap of the kernel routes through the custom batching rule (leading
     batch GRID axis — a vmapped ANY-space pallas_call cannot lower on TPU)
