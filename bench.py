@@ -60,13 +60,20 @@ def main():
     warm = time.time() - t0
     log(f"warmup total (incl. compile): {warm:.1f}s")
 
+    # A cold or recovering TPU worker can inflate a whole process's early
+    # runs several-fold (measured: 5.85 s then 0.45 s in-process); keep
+    # measuring until two runs agree within 20% or the budget runs out.
     best = float("inf")
-    for i in range(3):
+    times = []
+    for i in range(8):
         t0 = time.time()
         uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
         dt = time.time() - t0
+        times.append(dt)
         best = min(best, dt)
         log(f"run {i}: {dt:.2f}s")
+        if i >= 2 and sorted(times)[1] <= 1.2 * best:
+            break
 
     # Sustained throughput: dispatch is async, so enqueueing T frames before
     # draining results overlaps the host-link cost (h2d + dispatch + d2h,
