@@ -114,7 +114,12 @@ def alt_ba_level_step(cfg: AltBALevelConfig, images, uv, uvhat, alpha, replaceme
         uv = jnp.where(replacement, uvhat, uv)
         return (uv, uvhat)
 
+    uv0, uvhat0 = uv, uvhat
     uv, uvhat = jax.lax.fori_loop(0, irls.max_iters, warp_iter, (uv, uvhat))
+    if irls.guard:
+        from optical_flow_tpu.utils.guard import guard_level_pair
+
+        uv, uvhat = guard_level_pair(uv, uvhat, uv0, uvhat0, irls.guard)
     return uv, uvhat
 
 

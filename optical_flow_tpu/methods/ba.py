@@ -49,6 +49,8 @@ class IRLSLevelConfig:
     deriv_filter: Tuple[float, ...]
     blend: float
     solver: Tuple
+    # failure guard threshold (utils/guard.py); 0.0 = off (reference parity)
+    guard: float = 0.0
 
 
 def _blended_solve(cfg: IRLSLevelConfig, uv, duv, It, Ix, Iy, alpha):
@@ -94,7 +96,12 @@ def ba_level_step(cfg: IRLSLevelConfig, images, uv, alpha):
                 duv = median_pass(uv + duv) - uv
         return uv + duv
 
-    return jax.lax.fori_loop(0, cfg.max_iters, warp_iter, uv)
+    out = jax.lax.fori_loop(0, cfg.max_iters, warp_iter, uv)
+    if cfg.guard:
+        from optical_flow_tpu.utils.guard import guard_level
+
+        out = guard_level(out, uv, cfg.guard)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,6 +249,7 @@ class BAOpticalFlow(BaseOpticalFlow):
             deriv_filter=tuple(float(v) for v in np.asarray(self.deriv_filter).ravel()),
             blend=float(self.blend),
             solver=self._solver_cfg(),
+            guard=float(self.guard_flow) if self.guard_flow else 0.0,
         )
 
     def _preprocess(self, images):

@@ -88,6 +88,14 @@ class BaseOpticalFlow:
         # per-level execution path (incompatible with whole-flow fusion).
         self.checkpoint = None
 
+        # failure detection + recovery (utils/guard.py): when set to a
+        # max-|flow| threshold (1e9 = the reference metrics' unknown-flow
+        # sentinel), any pyramid level whose result goes non-finite or
+        # exceeds it rolls back to the level's initialization and the
+        # coarse-to-fine recursion continues from the last healthy
+        # estimate.  None = off (reference parity reproduces divergences).
+        self.guard_flow = None
+
         # Fuse the whole coarse-to-fine flow into ONE jitted program
         # (hs_flow_program / ba_flow_program / ...).  None = 'auto': fuse on
         # TPU, where the monolith both removes the per-level dispatch chain

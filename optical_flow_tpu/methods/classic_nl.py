@@ -68,7 +68,12 @@ def classic_nl_level_step(cfg: NLLevelConfig, images, color_images, uv, alpha):
                 duv = filtered - uv
         return uv + duv
 
-    return jax.lax.fori_loop(0, irls.max_iters, warp_iter, uv)
+    out = jax.lax.fori_loop(0, irls.max_iters, warp_iter, uv)
+    if irls.guard:
+        from optical_flow_tpu.utils.guard import guard_level
+
+        out = guard_level(out, uv, irls.guard)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

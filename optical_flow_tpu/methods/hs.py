@@ -39,6 +39,8 @@ class HSLevelConfig:
     deriv_filter: Tuple[float, ...]
     blend: float
     solver: Tuple
+    # failure guard threshold (utils/guard.py); 0.0 = off (reference parity)
+    guard: float = 0.0
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -98,7 +100,12 @@ def hs_level_step(cfg: HSLevelConfig, images, uv):
         uv = jnp.where(cont, new_uv, uv)
         return (k + 1, uv, cont)
 
+    uv0 = uv
     _, uv, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), uv, jnp.asarray(True)))
+    if cfg.guard:
+        from optical_flow_tpu.utils.guard import guard_level
+
+        uv = guard_level(uv, uv0, cfg.guard)
     return uv
 
 
@@ -192,6 +199,7 @@ class HSOpticalFlow(BaseOpticalFlow):
             deriv_filter=tuple(float(v) for v in np.asarray(self.deriv_filter).ravel()),
             blend=float(self.blend),
             solver=self._solver_cfg(),
+            guard=float(self.guard_flow) if self.guard_flow else 0.0,
         )
 
     def _make_plan(self, sz) -> HSFlowPlan:

@@ -479,7 +479,14 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int
                     )
                 uv = jnp.pad(uv, ((0, scfg.pad), (0, 0), (0, 0)))
             out = smapped(images, color, uv, alpha)
-            return out[:H] if scfg.pad else out
+            out = out[:H] if scfg.pad else out
+            if cfg.irls.guard:
+                # guard on the GLOBAL view, outside shard_map: a per-shard
+                # rollback would splice healthy and rolled-back tiles
+                from optical_flow_tpu.utils.guard import guard_level
+
+                out = guard_level(out, uv[:H], cfg.irls.guard)
+            return out
 
         _spatial_cache[key] = jax.jit(run)
     return _spatial_cache[key](images, color, uv, jnp.asarray(alpha, uv.dtype))
