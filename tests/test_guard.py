@@ -120,6 +120,52 @@ def test_guard_in_fused_monolith():
     assert np.abs(flows[0] - flows[1]).mean() < 1e-4
 
 
+needs_8 = pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8
+def test_guard_in_spatial_sharded_level():
+    """The sharded level step guards on the GLOBAL field (outside shard_map):
+    guard=1e9 is a no-op on a healthy run; an unreachable threshold rolls the
+    whole level back to its initialization (never a per-shard splice)."""
+    import dataclasses
+
+    from optical_flow_tpu.methods.classic_nl import classic_nl_level_step
+    from optical_flow_tpu.parallel.mesh import flow_mesh
+    from optical_flow_tpu.parallel.spatial import classic_nl_level_step_spatial
+
+    mesh = flow_mesh(batch=1, space=8)
+    ope = load_of_method("classic+nl-fast")
+    ope.display = False
+    cfg = ope._nl_cfg(use_color=True, max_linear=1)
+
+    rng = np.random.default_rng(5)
+    H, W = 64, 48
+    im1 = gaussian_filter(rng.uniform(0, 255, (H, W)), 1.5)
+    images = jnp.asarray(np.stack([im1, np.roll(im1, 1, 1)], -1), jnp.float64)
+    color = jnp.asarray(rng.uniform(0, 255, (H, W, 3)), jnp.float64)
+    uv = jnp.asarray(0.1 * rng.standard_normal((H, W, 2)), jnp.float64)
+    alpha = jnp.asarray(0.4, jnp.float64)
+
+    ref = np.asarray(classic_nl_level_step(cfg, images, color, uv, alpha))
+
+    cfg_ok = dataclasses.replace(cfg, irls=dataclasses.replace(cfg.irls, guard=1e9))
+    out = np.asarray(
+        classic_nl_level_step_spatial(cfg_ok, images, color, uv, alpha, mesh, halo=6)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-8)
+
+    # threshold below the healthy flow magnitude => whole-field rollback
+    assert np.abs(ref).max() > 1e-6
+    cfg_trip = dataclasses.replace(cfg, irls=dataclasses.replace(cfg.irls, guard=1e-6))
+    out = np.asarray(
+        classic_nl_level_step_spatial(cfg_trip, images, color, uv, alpha, mesh, halo=6)
+    )
+    np.testing.assert_array_equal(out, np.asarray(uv))
+
+
 def test_guard_via_estimate_flow_params():
     """guard_flow is reachable through the public param dict."""
     from optical_flow_tpu.interface import estimate_flow
