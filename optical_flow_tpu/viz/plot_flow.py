@@ -1,18 +1,20 @@
 """Flow-field plotting.
 
 Behavior-parity surface for the reference's ``viz/plot_flow.py:9-68``
-(four styles, Agg backend, unknown-flow suppression), organized here as a
-registry of per-style renderers: each style is a small function taking the
-sanitized components, and :func:`plot_flow` owns only the shared concerns
-(axes lifecycle, sentinel filtering, dispatch).
+(four styles, unknown-flow suppression), organized here as a registry of
+per-style renderers: each style is a small function taking the sanitized
+components, and :func:`plot_flow` owns only the shared concerns (axes
+lifecycle, sentinel filtering, dispatch).
+
+Unlike the reference, the Agg backend is NOT forced at import: matplotlib
+already falls back to Agg on headless hosts, and forcing it would clobber
+notebook inline backends (the executed demo notebook renders through this
+module).
 """
 from __future__ import annotations
 
 import numpy as np
-import matplotlib
-
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.pyplot as plt
 
 from optical_flow_tpu.viz.flow_color import UNKNOWN_FLOW_THRESH, flow_to_color  # noqa: E402
 
