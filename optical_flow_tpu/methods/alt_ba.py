@@ -180,6 +180,14 @@ def alt_ba_flow_from_rgb(plan: AltBAFlowPlan, im1, im2, dtype):
     return alt_ba_flow_program(plan, images, uv, uv)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def alt_ba_flow_from_gray(plan: AltBAFlowPlan, im1, im2, dtype):
+    """Raw grayscale pair (uint8 when exact) + whole Alt-BA flow, ONE program."""
+    images = jnp.stack([jnp.asarray(im1, dtype), jnp.asarray(im2, dtype)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return alt_ba_flow_program(plan, images, uv, uv)
+
+
 class AltBAOpticalFlow(BAOpticalFlow):
     """Alternative BA with coupled auxiliary field."""
 
@@ -267,6 +275,17 @@ class AltBAOpticalFlow(BAOpticalFlow):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
         return alt_ba_flow_from_rgb(self._make_alt_plan(sz), im1, im2, self.dtype)
+
+    def compute_flow_from_gray(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is AltBAOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return alt_ba_flow_from_gray(self._make_alt_plan(sz), im1, im2, self.dtype)
 
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""

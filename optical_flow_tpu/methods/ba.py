@@ -191,6 +191,14 @@ def ba_flow_from_rgb(plan: "BAFlowPlan", im1, im2, dtype):
     return ba_flow_program(plan, images, uv)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def ba_flow_from_gray(plan: "BAFlowPlan", im1, im2, dtype):
+    """Raw grayscale pair (uint8 when exact) + the whole BA flow, ONE program."""
+    images = jnp.stack([jnp.asarray(im1, dtype), jnp.asarray(im2, dtype)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return ba_flow_program(plan, images, uv)
+
+
 class BAOpticalFlow(BaseOpticalFlow):
     """Black & Anandan optical flow with robust estimation and GNC."""
 
@@ -307,6 +315,17 @@ class BAOpticalFlow(BaseOpticalFlow):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
         return ba_flow_from_rgb(self._make_plan(sz), im1, im2, self.dtype)
+
+    def compute_flow_from_gray(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is BAOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return ba_flow_from_gray(self._make_plan(sz), im1, im2, self.dtype)
 
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine estimation (``ba.py:57-138``)."""

@@ -88,6 +88,13 @@ class BaseOpticalFlow:
         # per-level execution path (incompatible with whole-flow fusion).
         self.checkpoint = None
 
+        # dtype of the RETURNED flow (e.g. 'float16'); the cast runs on
+        # device, so the result crosses the host link at half the bytes.
+        # At 4K the f32 flow is ~66 MB/frame — on a slow host link the
+        # download, not the chip, bounds sustained streaming (DESIGN §4a).
+        # None = the compute dtype (float32), the parity default.
+        self.out_dtype = None
+
         # failure detection + recovery (utils/guard.py): when set to a
         # max-|flow| threshold (1e9 = the reference metrics' unknown-flow
         # sentinel), any pyramid level whose result goes non-finite or
@@ -190,6 +197,16 @@ class BaseOpticalFlow:
         builds, and every level solve.  Returns None when the fused path
         does not apply (then :func:`estimate_flow` falls back to the
         per-level path).
+        """
+        return None
+
+    def compute_flow_from_gray(self, im1, im2):
+        """Whole flow from a raw (H, W) grayscale pair as ONE device program.
+
+        Grayscale analog of :meth:`compute_flow_from_rgb`: the pair ships
+        uint8 when exact (8x fewer host-link bytes than the preprocessed
+        float32 stack) and the stack/rescale preprocessing runs inside the
+        monolith.  Returns None when the fused path does not apply.
         """
         return None
 

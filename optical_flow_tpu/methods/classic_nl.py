@@ -164,6 +164,22 @@ def classic_nl_flow_from_rgb(plan: NLFlowPlan, im1, im2, dtype):
     return classic_nl_flow_program(plan, images, color, uv)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def classic_nl_flow_from_gray(plan: NLFlowPlan, im1, im2, dtype):
+    """Raw grayscale pair + the whole Classic+NL flow as ONE device program.
+
+    The weighted-median guide for grayscale input is the raw first frame
+    itself (reference ``interface.py:61-63``: ``lab1 = im1.copy()`` — no Lab
+    conversion, no rescale), exactly as the per-stage path receives it.
+    """
+    im1 = jnp.asarray(im1, dtype)
+    im2 = jnp.asarray(im2, dtype)
+    images = jnp.stack([im1, im2], axis=2)
+    color = im1 if plan.use_color else jnp.zeros((1, 1), dtype)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return classic_nl_flow_program(plan, images, color, uv)
+
+
 class ClassicNLOpticalFlow(BAOpticalFlow):
     """Classic+NL with generalized Charbonnier penalties and NL term."""
 
@@ -266,6 +282,19 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
         sz = tuple(int(s) for s in im1.shape[:2])
         plan = self._make_nl_plan(sz, use_color=self.color_images is not None)
         return classic_nl_flow_from_rgb(plan, im1, im2, self.dtype)
+
+    def compute_flow_from_gray(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and self.spatial_mesh is None
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is ClassicNLOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        plan = self._make_nl_plan(sz, use_color=self.color_images is not None)
+        return classic_nl_flow_from_gray(plan, im1, im2, self.dtype)
 
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine with triple pyramids (``classic_nl.py:89-198``)."""

@@ -163,6 +163,14 @@ def hs_flow_from_rgb(plan: HSFlowPlan, im1, im2, dtype):
     return hs_flow_program(plan, images, uv)
 
 
+@partial(jax.jit, static_argnums=(0, 3))
+def hs_flow_from_gray(plan: HSFlowPlan, im1, im2, dtype):
+    """Raw grayscale pair (uint8 when exact) + the whole HS flow, ONE program."""
+    images = jnp.stack([jnp.asarray(im1, dtype), jnp.asarray(im2, dtype)], axis=2)
+    uv = jnp.zeros((*images.shape[:2], 2), dtype)
+    return hs_flow_program(plan, images, uv)
+
+
 class HSOpticalFlow(BaseOpticalFlow):
     """Horn–Schunck with quadratic penalty and Laplacian spatial term."""
 
@@ -233,6 +241,17 @@ class HSOpticalFlow(BaseOpticalFlow):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
         return hs_flow_from_rgb(self._make_plan(sz), im1, im2, self.dtype)
+
+    def compute_flow_from_gray(self, im1, im2):
+        if not (
+            self._fuse_enabled()
+            and not self.display
+            and self.checkpoint is None
+            and type(self) is HSOpticalFlow
+        ):
+            return None
+        sz = tuple(int(s) for s in im1.shape[:2])
+        return hs_flow_from_gray(self._make_plan(sz), im1, im2, self.dtype)
 
     def compute_flow(self, init=None, gt=None):
         """Coarse-to-fine Horn–Schunck (``hs.py:49-99``)."""

@@ -69,6 +69,51 @@ def test_from_rgb_single_dispatch_matches_per_stage(rng, method):
     np.testing.assert_array_equal(uv_u8, uv_fused)
 
 
+@pytest.mark.parametrize("method", ["hs", "ba", "classic+nl-fast", "classic-c-a"])
+def test_from_gray_single_dispatch_matches_per_stage(rng, method):
+    """The fused from-GRAY monolith == the per-stage grayscale path.
+
+    Grayscale pairs ship uint8 when exact (8x fewer link bytes than the f32
+    stack); for classic+nl the weighted-median guide must be the raw first
+    frame (reference interface.py:61-63), identical to the per-stage path.
+    """
+    from optical_flow_tpu.interface import estimate_flow
+
+    im1 = rng.integers(0, 256, (40, 44)).astype(np.float64)
+    # keep the pair mostly-coherent (and integral, so the uint8 shipping
+    # path stays on): classic-c-a legitimately diverges on pure noise
+    im2 = np.round(0.9 * np.roll(im1, 1, axis=1) + 0.1 * rng.integers(0, 256, (40, 44)))
+    params = {"display": False}
+    if method == "classic-c-a":
+        params["max_iters"] = 4
+    uv_fused = np.asarray(estimate_flow(im1, im2, method, {**params, "fuse": True}))
+    uv_plain = np.asarray(estimate_flow(im1, im2, method, {**params, "fuse": False}))
+    assert np.isfinite(uv_fused).all()
+    np.testing.assert_allclose(uv_fused, uv_plain, atol=5e-3)
+    assert np.abs(uv_fused - uv_plain).mean() < 1e-4
+    # uint8 input lands on the same jitted program and gives identical flow
+    uv_u8 = np.asarray(
+        estimate_flow(im1.astype(np.uint8), im2.astype(np.uint8), method, {**params, "fuse": True})
+    )
+    np.testing.assert_array_equal(uv_u8, uv_fused)
+
+
+def test_out_dtype_casts_on_device(rng):
+    """out_dtype='float16' halves the flow download; values match f32."""
+    from optical_flow_tpu.interface import estimate_flow
+
+    im1 = rng.integers(0, 256, (40, 44)).astype(np.float64)
+    im2 = np.roll(im1, 1, axis=1)
+    for extra in ({}, {"fuse": True}):  # per-level path and fused monolith
+        params = {"display": False, **extra}
+        uv32 = np.asarray(estimate_flow(im1, im2, "hs-brightness", params))
+        uv16 = np.asarray(
+            estimate_flow(im1, im2, "hs-brightness", {**params, "out_dtype": "float16"})
+        )
+        assert uv16.dtype == np.float16
+        np.testing.assert_allclose(uv16, uv32, atol=2e-3)
+
+
 def test_ship_exact_representations():
     from optical_flow_tpu.interface import _ship_exact
 
