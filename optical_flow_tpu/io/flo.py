@@ -98,7 +98,7 @@ def read_flow_file(seq_name, i_seq, data_dir=None):
     ``data_dir`` defaults to $OPTICAL_FLOW_DATA_DIR, falling back to the
     reference checkout's data directory when present.
     """
-    from PIL import Image
+    from optical_flow_tpu.io.png import read_png
 
     if data_dir is None:
         data_dir = os.environ.get("OPTICAL_FLOW_DATA_DIR")
@@ -116,8 +116,8 @@ def read_flow_file(seq_name, i_seq, data_dir=None):
         )
 
     img_dir = os.path.join(data_dir, "other-data", seq_name)
-    im1 = np.array(Image.open(os.path.join(img_dir, f"frame{i_seq:02d}.png"))).astype(np.float64)
-    im2 = np.array(Image.open(os.path.join(img_dir, f"frame{i_seq + 1:02d}.png"))).astype(np.float64)
+    im1 = read_png(os.path.join(img_dir, f"frame{i_seq:02d}.png")).astype(np.float64)
+    im2 = read_png(os.path.join(img_dir, f"frame{i_seq + 1:02d}.png")).astype(np.float64)
 
     gt_path = os.path.join(data_dir, "other-gt-flow", seq_name, f"flow{i_seq:02d}.flo")
     if os.path.exists(gt_path):
