@@ -1,8 +1,12 @@
-"""Method configuration factory — named presets.
+"""Method configuration factory — a declarative preset table.
 
-Reproduces every constant of the reference's ``load_of_method``
-(``methods/config.py:10-176``): 11 named presets mapping to configured
-method objects.
+Provides every named preset of the reference's ``load_of_method``
+(``methods/config.py:10-176``) with identical constants, but as data rather
+than an if-chain: each preset is (method class, optional base preset,
+settings factory).  Base presets compose by applying the parent's settings
+first — e.g. ``classic+nl-fast`` = ``classic+nl`` + a shorter schedule.
+Settings are built fresh per call so loaded methods never share mutable
+state.
 """
 from __future__ import annotations
 
@@ -13,6 +17,158 @@ from optical_flow_tpu.ops.penalties import Robust
 MEDIAN_FILTER_SIZE = [5, 5]
 
 
+def _penalties(name, spatial, data):
+    """The three robust-penalty slots: two spatial (u, v) + one data term."""
+
+    def r(p):
+        return Robust(name, p if isinstance(p, tuple) else (p,))
+
+    return {
+        "rho_spatial_u": [r(spatial), r(spatial)],
+        "rho_spatial_v": [r(spatial), r(spatial)],
+        "rho_data": r(data),
+    }
+
+
+def _classic_nl():
+    from optical_flow_tpu.methods.classic_nl import ClassicNLOpticalFlow
+
+    return ClassicNLOpticalFlow()
+
+
+def _hs():
+    from optical_flow_tpu.methods.hs import HSOpticalFlow
+
+    return HSOpticalFlow()
+
+
+def _ba():
+    from optical_flow_tpu.methods.ba import BAOpticalFlow
+
+    return BAOpticalFlow()
+
+
+def _alt_ba():
+    from optical_flow_tpu.methods.alt_ba import AltBAOpticalFlow
+
+    return AltBAOpticalFlow()
+
+
+# name -> (constructor, base preset name or None, settings factory).
+# Constants mirror the reference table exactly (methods/config.py:32-173),
+# including its display defaults and the (1, 1, 3) color placeholder that
+# flags "use the Lab guide when the input has color".
+_PRESETS = {
+    "classic+nl": (
+        _classic_nl,
+        None,
+        lambda: {
+            "texture": True,
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "alp": 0.95,
+            "area_hsz": 7,
+            "sigma_i": 7,
+            "color_images": np.ones((1, 1, 3)),
+            "lambda_": 3,
+            "lambda_q": 3,
+        },
+    ),
+    "classic+nl-fast": (
+        _classic_nl,
+        "classic+nl",
+        lambda: {"max_iters": 3, "gnc_iters": 2, "display": True},
+    ),
+    "classic+nl-full": (_classic_nl, "classic+nl", lambda: {"fullVersion": True}),
+    "hs-brightness": (
+        _hs,
+        None,
+        lambda: {"median_filter_size": MEDIAN_FILTER_SIZE, "lambda_": 10, "lambda_q": 10},
+    ),
+    "hs": (
+        _hs,
+        None,
+        lambda: {
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "texture": True,
+            "lambda_": 40,
+            "lambda_q": 40,
+            "display": True,
+        },
+    ),
+    "ba-brightness": (
+        _ba,
+        None,
+        lambda: {
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "lambda_": 0.045,
+            "lambda_q": 0.045,
+            **_penalties("lorentzian", 0.1, 3.5),
+        },
+    ),
+    "ba": (
+        _ba,
+        "ba-brightness",
+        lambda: {
+            "texture": True,
+            "lambda_": 0.06,
+            "lambda_q": 0.06,
+            **_penalties("lorentzian", 0.03, 1.5),
+        },
+    ),
+    "classic-c-a": (
+        _alt_ba,
+        None,
+        lambda: {
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "texture": True,
+            "display": False,
+            "lambda2": 1e2,
+            "lambda3": 1,
+            "weightRatio": 1e2,  # lambda2 / lambda3
+            "itersLO": 5,
+            "lambda_": 5,
+            "lambda_q": 5,
+            **_penalties("charbonnier", 1e-3, 1e-3),
+        },
+    ),
+    "classic-c-brightness": (
+        _ba,
+        None,
+        lambda: {
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "texture": False,
+            "lambda_": 3,
+            "lambda_q": 3,
+            **_penalties("charbonnier", 1e-3, 1e-3),
+        },
+    ),
+    "classic-c": (
+        _ba,
+        "classic-c-brightness",
+        lambda: {"texture": True, "lambda_": 5, "lambda_q": 5},
+    ),
+    "classic++": (
+        _ba,
+        None,
+        lambda: {
+            "median_filter_size": MEDIAN_FILTER_SIZE,
+            "texture": True,
+            "interpolation_method": "bi-cubic",
+            "lambda_": 3,
+            "lambda_q": 3,
+            **_penalties("generalized_charbonnier", (1e-3, 0.45), (1e-3, 0.45)),
+        },
+    ),
+}
+
+_ALIASES = {"classic-l": "ba"}
+
+
+def available_methods():
+    """All preset names (aliases included), reference ``config.py:13-24``."""
+    return sorted(_PRESETS) + sorted(_ALIASES)
+
+
 def load_of_method(method: str):
     """Load a pre-configured optical flow method by name.
 
@@ -21,132 +177,17 @@ def load_of_method(method: str):
     'ba' / 'classic-l', 'classic-c-brightness', 'classic-c', 'classic++',
     'classic-c-a'.
     """
-    if method == "classic+nl-fast":
-        ope = load_of_method("classic+nl")
-        ope.max_iters = 3
-        ope.gnc_iters = 2
-        ope.display = True
-        return ope
-
-    if method == "classic+nl":
-        from optical_flow_tpu.methods.classic_nl import ClassicNLOpticalFlow
-
-        ope = ClassicNLOpticalFlow()
-        ope.texture = True
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.alp = 0.95
-        ope.area_hsz = 7
-        ope.sigma_i = 7
-        ope.color_images = np.ones((1, 1, 3))
-        ope.lambda_ = 3
-        ope.lambda_q = 3
-        return ope
-
-    if method == "classic+nl-full":
-        ope = load_of_method("classic+nl")
-        ope.fullVersion = True
-        return ope
-
-    if method == "hs-brightness":
-        from optical_flow_tpu.methods.hs import HSOpticalFlow
-
-        ope = HSOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.lambda_ = 10
-        ope.lambda_q = 10
-        return ope
-
-    if method == "hs":
-        from optical_flow_tpu.methods.hs import HSOpticalFlow
-
-        ope = HSOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.texture = True
-        ope.lambda_ = 40
-        ope.lambda_q = 40
-        ope.display = True
-        return ope
-
-    if method == "ba-brightness":
-        from optical_flow_tpu.methods.ba import BAOpticalFlow
-
-        ope = BAOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        m = "lorentzian"
-        ope.rho_spatial_u = [Robust(m, (0.1,)), Robust(m, (0.1,))]
-        ope.rho_spatial_v = [Robust(m, (0.1,)), Robust(m, (0.1,))]
-        ope.rho_data = Robust(m, (3.5,))
-        ope.lambda_ = 0.045
-        ope.lambda_q = 0.045
-        return ope
-
-    if method in ("classic-l", "ba"):
-        ope = load_of_method("ba-brightness")
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.texture = True
-        m = "lorentzian"
-        ope.rho_spatial_u = [Robust(m, (0.03,)), Robust(m, (0.03,))]
-        ope.rho_spatial_v = [Robust(m, (0.03,)), Robust(m, (0.03,))]
-        ope.rho_data = Robust(m, (1.5,))
-        ope.lambda_ = 0.06
-        ope.lambda_q = 0.06
-        return ope
-
-    if method == "classic-c-a":
-        from optical_flow_tpu.methods.alt_ba import AltBAOpticalFlow
-
-        ope = AltBAOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.texture = True
-        m = "charbonnier"
-        ope.rho_spatial_u = [Robust(m, (1e-3,)), Robust(m, (1e-3,))]
-        ope.rho_spatial_v = [Robust(m, (1e-3,)), Robust(m, (1e-3,))]
-        ope.rho_data = Robust(m, (1e-3,))
-        ope.display = False
-        ope.lambda2 = 1e2
-        ope.lambda3 = 1
-        ope.weightRatio = ope.lambda2 / ope.lambda3
-        ope.itersLO = 5
-        ope.lambda_ = 5
-        ope.lambda_q = 5
-        return ope
-
-    if method == "classic-c-brightness":
-        from optical_flow_tpu.methods.ba import BAOpticalFlow
-
-        ope = BAOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.texture = False
-        m = "charbonnier"
-        ope.rho_spatial_u = [Robust(m, (1e-3,)), Robust(m, (1e-3,))]
-        ope.rho_spatial_v = [Robust(m, (1e-3,)), Robust(m, (1e-3,))]
-        ope.rho_data = Robust(m, (1e-3,))
-        ope.lambda_ = 3
-        ope.lambda_q = 3
-        return ope
-
-    if method == "classic-c":
-        ope = load_of_method("classic-c-brightness")
-        ope.texture = True
-        ope.lambda_ = 5
-        ope.lambda_q = 5
-        return ope
-
-    if method == "classic++":
-        from optical_flow_tpu.methods.ba import BAOpticalFlow
-
-        ope = BAOpticalFlow()
-        ope.median_filter_size = MEDIAN_FILTER_SIZE
-        ope.texture = True
-        ope.interpolation_method = "bi-cubic"
-        m = "generalized_charbonnier"
-        a = 0.45
-        sig = 1e-3
-        ope.rho_spatial_u = [Robust(m, (sig, a)), Robust(m, (sig, a))]
-        ope.rho_spatial_v = [Robust(m, (sig, a)), Robust(m, (sig, a))]
-        ope.rho_data = Robust(m, (sig, a))
-        ope.lambda_ = 3
-        ope.lambda_q = 3
-        return ope
-
-    raise ValueError(f"Unknown optical flow method: '{method}'")
+    name = _ALIASES.get(method, method)
+    if name not in _PRESETS:
+        raise ValueError(f"Unknown optical flow method: '{method}'")
+    ctor, base, settings = _PRESETS[name]
+    ope = ctor()
+    chain = []
+    cur = name
+    while cur is not None:
+        chain.append(_PRESETS[cur][2])
+        cur = _PRESETS[cur][1]
+    for fn in reversed(chain):  # base settings first, leaf overrides last
+        for key, val in fn().items():
+            setattr(ope, key, val)
+    return ope
