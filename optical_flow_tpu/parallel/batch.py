@@ -121,7 +121,7 @@ def estimate_flow_batched_rgb(
     :func:`estimate_flow_batched` when the method doesn't fuse (CPU
     default, or ``fuse=False`` / ``mesh`` given).
     """
-    from optical_flow_tpu.interface import _ship_exact
+    from optical_flow_tpu.interface import _maybe_cast_out, _ship_exact
     from optical_flow_tpu.methods.hs import hs_flow_from_rgb
     from optical_flow_tpu.methods.ba import ba_flow_from_rgb
     from optical_flow_tpu.methods.classic_nl import classic_nl_flow_from_rgb
@@ -141,13 +141,13 @@ def estimate_flow_batched_rgb(
         a2 = _ship_exact(im2_batch, ope.dtype)
         if type(ope) is HSOpticalFlow:
             prog = _vmapped_rgb(hs_flow_from_rgb.__wrapped__)
-            return prog(ope._make_plan((H, W)), a1, a2, ope.dtype)
+            return _maybe_cast_out(prog(ope._make_plan((H, W)), a1, a2, ope.dtype), ope.out_dtype)
         if type(ope) is BAOpticalFlow:
             prog = _vmapped_rgb(ba_flow_from_rgb.__wrapped__)
-            return prog(ope._make_plan((H, W)), a1, a2, ope.dtype)
+            return _maybe_cast_out(prog(ope._make_plan((H, W)), a1, a2, ope.dtype), ope.out_dtype)
         plan = ope._make_nl_plan((H, W), use_color=ope.color_images is not None)
         prog = _vmapped_rgb(classic_nl_flow_from_rgb.__wrapped__)
-        return prog(plan, a1, a2, ope.dtype)
+        return _maybe_cast_out(prog(plan, a1, a2, ope.dtype), ope.out_dtype)
 
     images, color = preprocess_color_batch(im1_batch, im2_batch, dtype=ope.dtype)
     want_color = ope.color_images is not None and type(ope) is ClassicNLOpticalFlow
@@ -206,16 +206,22 @@ def estimate_flow_batched(
             )
     B, H, W = images_batch.shape[:3]
     npdt = np.dtype(ope.dtype)
+
+    def cast(uv):
+        from optical_flow_tpu.interface import _maybe_cast_out
+
+        return _maybe_cast_out(uv, ope.out_dtype)
+
     fused = ope._fuse_enabled() and mesh is None
 
     if fused:
         uv0 = np.zeros((B, H, W, 2), dtype=npdt)
         if type(ope) is HSOpticalFlow:
             prog = _vmapped(hs_flow_program.__wrapped__, 2)
-            return prog(ope._make_plan((H, W)), images_batch, uv0)
+            return cast(prog(ope._make_plan((H, W)), images_batch, uv0))
         if type(ope) is BAOpticalFlow:
             prog = _vmapped(ba_flow_program.__wrapped__, 2)
-            return prog(ope._make_plan((H, W)), images_batch, uv0)
+            return cast(prog(ope._make_plan((H, W)), images_batch, uv0))
         use_color = color_batch is not None
         plan = ope._make_nl_plan((H, W), use_color=use_color)
         color = (
@@ -224,7 +230,7 @@ def estimate_flow_batched(
             else np.zeros((B, 1, 1), dtype=npdt)
         )
         prog = _vmapped(classic_nl_flow_program.__wrapped__, 3)
-        return prog(plan, images_batch, color, uv0)
+        return cast(prog(plan, images_batch, color, uv0))
 
     # preprocessing, batched (scale_image normalizes per pair)
     if ope.texture:
@@ -254,7 +260,7 @@ def estimate_flow_batched(
             # final median pass (reference hs.py:95-97) — the fused program
             # applies it inside hs_flow_program
             uv = _vmapped(_median_pair_sized, 1)(cfg.median_filter_size, uv)
-        return uv
+        return cast(uv)
 
     if isinstance(ope, ClassicNLOpticalFlow):
         use_color = color_batch is not None
@@ -278,7 +284,7 @@ def estimate_flow_batched(
                 uv = step(cfg, cur[level], guide, uv, np.full((B,), alpha, npdt))
             if ope.gnc_iters > 1:
                 alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
-        return uv
+        return cast(uv)
 
     if isinstance(ope, BAOpticalFlow):
         pyramid = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)(proc)
@@ -295,6 +301,6 @@ def estimate_flow_batched(
                 uv = step(cfg, cur[level], uv, np.full((B,), alpha, npdt))
             if ope.gnc_iters > 1:
                 alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
-        return uv
+        return cast(uv)
 
     raise ValueError(f"Batched estimation not supported for method '{method}'")

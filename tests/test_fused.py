@@ -113,6 +113,17 @@ def test_out_dtype_casts_on_device(rng):
         assert uv16.dtype == np.float16
         np.testing.assert_allclose(uv16, uv32, atol=2e-3)
 
+    # batched serving paths honor it too
+    from optical_flow_tpu.parallel.batch import estimate_flow_batched
+
+    pairs = np.stack([np.stack([im1, im2], -1)] * 2)
+    uvb = np.asarray(
+        estimate_flow_batched(
+            pairs, "hs-brightness", params={"display": False, "out_dtype": "float16"}
+        )
+    )
+    assert uvb.dtype == np.float16
+
 
 def test_ship_exact_representations():
     from optical_flow_tpu.interface import _ship_exact
