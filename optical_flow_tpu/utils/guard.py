@@ -50,8 +50,16 @@ def guard_level(uv_new, uv_init, max_flow: float):
     neighborhood through the spatial term, so per-pixel splicing would
     keep values that are finite only by accident.  Traced (jit/vmap
     -safe); compiles to a reduce + select.
+
+    The rollback target is guarded too: after repeated rollbacks the
+    inter-level ``resample_flow`` scaling (x spacing per level) can push a
+    just-under-threshold estimate past ``max_flow`` — in that case the
+    level restarts from zero flow, preserving the invariant that a guarded
+    result NEVER exceeds ``max_flow`` (so it is scoreable under the
+    metrics' |f| >= 1e9 unknown-flow filter, by construction).
     """
-    return jnp.where(flow_is_healthy(uv_new, max_flow), uv_new, uv_init)
+    safe_init = jnp.where(flow_is_healthy(uv_init, max_flow), uv_init, 0.0)
+    return jnp.where(flow_is_healthy(uv_new, max_flow), uv_new, safe_init)
 
 
 def guard_level_pair(uv_new, uvhat_new, uv_init, uvhat_init, max_flow: float):
@@ -64,7 +72,12 @@ def guard_level_pair(uv_new, uvhat_new, uv_init, uvhat_init, max_flow: float):
     ok = jnp.logical_and(
         flow_is_healthy(uv_new, max_flow), flow_is_healthy(uvhat_new, max_flow)
     )
-    return jnp.where(ok, uv_new, uv_init), jnp.where(ok, uvhat_new, uvhat_init)
+    init_ok = jnp.logical_and(
+        flow_is_healthy(uv_init, max_flow), flow_is_healthy(uvhat_init, max_flow)
+    )
+    safe_uv = jnp.where(init_ok, uv_init, 0.0)
+    safe_uvhat = jnp.where(init_ok, uvhat_init, 0.0)
+    return jnp.where(ok, uv_new, safe_uv), jnp.where(ok, uvhat_new, safe_uvhat)
 
 
 def flow_health(uv) -> dict:

@@ -38,6 +38,21 @@ def test_guard_level_passthrough_and_rollback():
         np.testing.assert_array_equal(out, 0.0)  # whole-field rollback
 
 
+def test_guard_rollback_target_is_guarded():
+    """Over-threshold INIT (resample-scaled past max_flow after repeated
+    rollbacks) must restart the level from zero, so a guarded result never
+    exceeds max_flow."""
+    init = jnp.full((3, 3, 2), 4e9)
+    bad = jnp.full((3, 3, 2), jnp.inf)
+    np.testing.assert_array_equal(np.asarray(guard_level(bad, init, 1e9)), 0.0)
+    # a healthy result still passes through untouched
+    good = jnp.ones((3, 3, 2))
+    np.testing.assert_array_equal(np.asarray(guard_level(good, init, 1e9)), 1.0)
+    a, b = guard_level_pair(bad, bad, init, init, 1e9)
+    np.testing.assert_array_equal(np.asarray(a), 0.0)
+    np.testing.assert_array_equal(np.asarray(b), 0.0)
+
+
 def test_guard_level_pair_joint_rollback():
     uv = jnp.ones((3, 3, 2))
     uvhat = 2 * jnp.ones((3, 3, 2))
@@ -157,13 +172,24 @@ def test_guard_in_spatial_sharded_level():
     )
     np.testing.assert_allclose(out, ref, atol=1e-8)
 
-    # threshold below the healthy flow magnitude => whole-field rollback
+    # threshold below the healthy flow magnitude => whole-field rollback.
+    # The init itself also exceeds this threshold, so the guarded rollback
+    # target is zero flow (a guarded result NEVER exceeds max_flow).
     assert np.abs(ref).max() > 1e-6
     cfg_trip = dataclasses.replace(cfg, irls=dataclasses.replace(cfg.irls, guard=1e-6))
     out = np.asarray(
         classic_nl_level_step_spatial(cfg_trip, images, color, uv, alpha, mesh, halo=6)
     )
-    np.testing.assert_array_equal(out, np.asarray(uv))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+    # with the init below threshold, rollback restores the init exactly
+    mid = float(np.abs(ref).max() + np.abs(np.asarray(uv)).max()) / 2
+    if np.abs(np.asarray(uv)).max() < mid < np.abs(ref).max():
+        cfg_mid = dataclasses.replace(cfg, irls=dataclasses.replace(cfg.irls, guard=mid))
+        out = np.asarray(
+            classic_nl_level_step_spatial(cfg_mid, images, color, uv, alpha, mesh, halo=6)
+        )
+        np.testing.assert_array_equal(out, np.asarray(uv))
 
 
 def test_guard_via_estimate_flow_params():
