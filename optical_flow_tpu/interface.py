@@ -83,8 +83,11 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=N
         mesh: optional ``jax.sharding.Mesh`` with a ``'space'`` axis — image
             rows are tiled over it and every feasible pyramid level runs as
             one shard_map program with halo exchange + distributed PCG
-            (``parallel/spatial.py``).  ``params['spatial_halo']`` bounds the
-            per-level warp displacement handled exactly at shard boundaries.
+            (``parallel/spatial.py``); hs / ba / classic+nl families shard,
+            others raise.  ``params['spatial_halo']`` fixes the warp halo
+            radius; the default ``'auto'`` sizes it per level from the
+            measured incoming-flow bound, so shard-boundary warp reads are
+            exact at any motion magnitude.
 
     Returns:
         uv: (H, W, 2) flow; uv[..., 0] horizontal, uv[..., 1] vertical.
@@ -96,6 +99,16 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=N
     if params is not None:
         ope.parse_input_parameter(params)
     if mesh is not None:
+        # mesh= must shard or raise — never silently compute unsharded
+        from optical_flow_tpu.parallel.spatial import check_spatial_config
+
+        if not ope.spatial_mesh_supported:
+            raise ValueError(
+                f"method {method!r} does not support spatial sharding "
+                "(mesh=); supported families: hs, ba/classic-c/classic++, "
+                "classic+nl"
+            )
+        check_spatial_config(str(ope.interpolation_method), str(ope.solver))
         ope.spatial_mesh = mesh
 
     # Fused single-dispatch path: preprocessing folded into the whole-flow

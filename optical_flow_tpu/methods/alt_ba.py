@@ -191,6 +191,10 @@ def alt_ba_flow_from_gray(plan: AltBAFlowPlan, im1, im2, dtype):
 class AltBAOpticalFlow(BAOpticalFlow):
     """Alternative BA with coupled auxiliary field."""
 
+    # the lambda2-annealed coupling + Li-Osher denoising loop is not yet
+    # sharded; a mesh= request must fail loudly (see compute_flow)
+    spatial_mesh_supported = False
+
     def __init__(self):
         super().__init__()
         self.lambda_ = 5.0
@@ -289,6 +293,12 @@ class AltBAOpticalFlow(BAOpticalFlow):
 
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""
+        if self.spatial_mesh is not None:
+            raise ValueError(
+                "Alt-BA does not support spatial sharding (mesh=): the "
+                "coupled auxiliary-field update is not yet sharded.  Drop "
+                "mesh= or use hs / ba / classic+nl."
+            )
         images = self._as_dtype(self.images)
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)

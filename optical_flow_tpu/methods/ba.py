@@ -202,6 +202,8 @@ def ba_flow_from_gray(plan: "BAFlowPlan", im1, im2, dtype):
 class BAOpticalFlow(BaseOpticalFlow):
     """Black & Anandan optical flow with robust estimation and GNC."""
 
+    spatial_mesh_supported = True
+
     def __init__(self):
         super().__init__()
         self.lambda_ = 1.0
@@ -308,6 +310,7 @@ class BAOpticalFlow(BaseOpticalFlow):
     def compute_flow_from_rgb(self, im1, im2):
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is BAOpticalFlow
@@ -319,6 +322,7 @@ class BAOpticalFlow(BaseOpticalFlow):
     def compute_flow_from_gray(self, im1, im2):
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is BAOpticalFlow
@@ -333,8 +337,8 @@ class BAOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if (self._fuse_enabled() and not self.display and self.checkpoint is None
-                and type(self) is BAOpticalFlow):
+        if (self._fuse_enabled() and self.spatial_mesh is None and not self.display
+                and self.checkpoint is None and type(self) is BAOpticalFlow):
             return ba_flow_program(self._make_plan(sz), images, uv)
 
         if self.auto_level:
@@ -364,9 +368,20 @@ class BAOpticalFlow(BaseOpticalFlow):
             for level in range(levels - 1, -1, -1):
                 if self.display:
                     print(f"  Pyramid level: {level + 1}")
-                uv = ba_level_resampled(
-                    cfg, current[level], uv, jnp.asarray(alpha, self.dtype)
-                )
+                if self.spatial_mesh is not None:
+                    from optical_flow_tpu.parallel.spatial import ba_level_step_spatial
+
+                    nsz = tuple(int(s) for s in current[level].shape[:2])
+                    uv = resample_flow(uv, nsz)
+                    halo = self._resolve_spatial_halo(uv, self.max_iters)
+                    uv = ba_level_step_spatial(
+                        cfg, current[level], uv, jnp.asarray(alpha, self.dtype),
+                        self.spatial_mesh, halo,
+                    )
+                else:
+                    uv = ba_level_resampled(
+                        cfg, current[level], uv, jnp.asarray(alpha, self.dtype)
+                    )
                 if self.checkpoint is not None:
                     self.checkpoint(ignc, level, uv)
 

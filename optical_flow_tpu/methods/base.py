@@ -49,6 +49,12 @@ def jit_median_pair(uv, size):
 class BaseOpticalFlow:
     """Shared mutable configuration (reference ``base.py:21-63``)."""
 
+    # whether estimate_flow(mesh=) can route this method's levels through
+    # the sharded programs in parallel/spatial.py; subclasses that can
+    # shard set True.  A mesh= request on an unsupported method RAISES —
+    # it must never silently compute unsharded.
+    spatial_mesh_supported = False
+
     def __init__(self):
         self.images = None
         self.lambda_ = 1.0
@@ -79,9 +85,13 @@ class BaseOpticalFlow:
         # spatial (row) sharding: a jax.sharding.Mesh with a 'space' axis
         # routes every feasible pyramid-level solve through the shard_map
         # program in parallel/spatial.py; spatial_halo bounds the per-level
-        # warp displacement handled exactly at shard boundaries.
+        # warp displacement handled exactly at shard boundaries.  'auto'
+        # (default) sizes it per level from the measured incoming-flow bound
+        # plus the per-iteration ±1 update clip (_resolve_spatial_halo), so
+        # shard-boundary warp reads are exact for any real motion magnitude;
+        # an int fixes it (and silently clamps larger displacements).
         self.spatial_mesh = None
-        self.spatial_halo = 6
+        self.spatial_halo = "auto"
 
         # optional callable(stage, level, uv) invoked after every pyramid
         # level — see utils/checkpoint.FlowCheckpointer.  Forces the
@@ -185,6 +195,25 @@ class BaseOpticalFlow:
 
     def _as_dtype(self, x):
         return jnp.asarray(x, dtype=self.dtype)
+
+    def _resolve_spatial_halo(self, uv, max_growth: int) -> int:
+        """Per-level warp-halo radius for the sharded path.
+
+        ``'auto'`` measures the level's incoming flow bound (one scalar
+        host fetch — the spatial path is per-level dispatched anyway) and
+        adds ``max_growth`` (the warping-iteration count: the ±1 update
+        clip bounds per-iteration growth, so |uv| during the level never
+        exceeds ceil(max|uv_in|) + iters).  Bucketed to multiples of 8 to
+        bound recompiles across levels/sequences.
+        """
+        h = self.spatial_halo
+        if h != "auto":
+            return int(h)
+        m = float(np.max(np.abs(np.asarray(uv))))
+        if not np.isfinite(m):
+            m = 0.0
+        req = int(np.ceil(m)) + int(max_growth)
+        return max(8, -(-req // 8) * 8)
 
     # ------------------------------------------------------------------
     def compute_flow_from_rgb(self, im1, im2):

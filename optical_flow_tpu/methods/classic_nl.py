@@ -375,10 +375,11 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
                     )
 
                     uv = resample_flow(uv, tuple(int(s) for s in nsz))
+                    halo = self._resolve_spatial_halo(uv, self.max_iters)
                     uv = classic_nl_level_step_spatial(
                         cfg, cur[level], color_level, uv,
                         jnp.asarray(alpha, self.dtype),
-                        self.spatial_mesh, int(self.spatial_halo),
+                        self.spatial_mesh, halo,
                     )
                 else:
                     uv = classic_nl_level_resampled(

@@ -174,6 +174,8 @@ def hs_flow_from_gray(plan: HSFlowPlan, im1, im2, dtype):
 class HSOpticalFlow(BaseOpticalFlow):
     """Horn–Schunck with quadratic penalty and Laplacian spatial term."""
 
+    spatial_mesh_supported = True
+
     def __init__(self):
         super().__init__()
         self.lambda_ = 80
@@ -234,6 +236,7 @@ class HSOpticalFlow(BaseOpticalFlow):
     def compute_flow_from_rgb(self, im1, im2):
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is HSOpticalFlow
@@ -245,6 +248,7 @@ class HSOpticalFlow(BaseOpticalFlow):
     def compute_flow_from_gray(self, im1, im2):
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is HSOpticalFlow
@@ -259,7 +263,8 @@ class HSOpticalFlow(BaseOpticalFlow):
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
 
-        if self._fuse_enabled() and not self.display and self.checkpoint is None:
+        if (self._fuse_enabled() and self.spatial_mesh is None and not self.display
+                and self.checkpoint is None):
             return hs_flow_program(self._make_plan(sz), images, uv)
 
         self.pyramid_levels = self._auto_pyramid_levels(images)
@@ -271,7 +276,17 @@ class HSOpticalFlow(BaseOpticalFlow):
         for level in range(self.pyramid_levels - 1, -1, -1):
             if self.display:
                 print(f"Pyramid level: {level + 1}")
-            uv = hs_level_resampled(cfg, pyramid[level], uv)
+            if self.spatial_mesh is not None:
+                from optical_flow_tpu.parallel.spatial import hs_level_step_spatial
+
+                nsz = tuple(int(s) for s in pyramid[level].shape[:2])
+                uv = resample_flow(uv, nsz)
+                halo = self._resolve_spatial_halo(uv, self.max_warping_iters)
+                uv = hs_level_step_spatial(
+                    cfg, pyramid[level], uv, self.spatial_mesh, halo
+                )
+            else:
+                uv = hs_level_resampled(cfg, pyramid[level], uv)
             if self.checkpoint is not None:
                 self.checkpoint(0, level, uv)
 

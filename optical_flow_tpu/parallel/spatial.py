@@ -1,23 +1,40 @@
-"""End-to-end spatially-sharded Classic+NL estimation (SP/CP over rows).
+"""End-to-end spatially-sharded level programs (SP/CP over image rows).
 
 The pixel grid is the "sequence": image rows are tiled across the ``space``
-mesh axis, and a WHOLE pyramid-level solve — Hermite-bicubic warp +
-derivatives, robust IRLS system, distributed PCG, occlusion detection,
-color-guided weighted median — runs inside one ``shard_map``, exchanging
+mesh axis, and a WHOLE pyramid-level solve — warp + derivatives, the
+robust IRLS (or Horn–Schunck) system, distributed PCG, occlusion detection,
+(weighted) median filtering — runs inside one ``shard_map``, exchanging
 only halo strips (``ppermute``) and CG inner products (``psum``) over ICI.
 This is the capability seam the reference cannot scale past
 (``/root/reference/optical_flow/methods/base.py:87-172``: a global spsolve;
 SURVEY §2's tiling table).
 
+Three method families are covered:
+
+* :func:`classic_nl_level_local` — Classic+NL (and, with ``use_color=False``
+  and the occlusion term dead-code-eliminated, exactly the BA IRLS body:
+  same α-blended solve, same duv-trick median —
+  ``/root/reference/optical_flow/methods/ba.py:140-206``).
+* :func:`hs_level_local` — Horn–Schunck (``methods/hs.py:109-142``): the
+  early-stop ``while_loop`` tests the GLOBAL update norm via ``psum``.
+
+Interpolation paths: ``'bi-cubic'`` (Hermite), ``'bi-linear'``, and
+``'cubic'`` (scipy cubic B-spline — the hs/ba/classic-c default).  The
+spline *prefilter* is a global operator, but it is flow-independent
+per-level preprocessing: the host wrapper computes the coefficient tables
+globally (MXU matmuls, :func:`~optical_flow_tpu.ops.interp.spline_coeffs_2d`)
+outside ``shard_map`` and shards them; only the 4x4 *evaluation* gathers
+run locally with halo reads.
+
 Exactness contract
 ------------------
-The sharded level step computes the *same function* as the single-device
-``classic_nl_level_step`` (up to float reduction order in CG dot products):
+Each sharded level step computes the *same function* as its single-device
+counterpart (up to float reduction order in CG/psum dot products):
 
 * every boundary convention is reproduced at the true image edges via
   :func:`~optical_flow_tpu.parallel.halo.halo_exchange_rows` fill modes
-  (symmetric for derivative filters, reflect for the weighted median, edge
-  for clamped warp reads);
+  (symmetric for derivative filters, reflect for medians and spline
+  tables, edge for clamped warp reads);
 * when the row count does not divide the mesh, rows are padded at the
   bottom.  The padded rows are masked out of the linear system (their
   coefficients, RHS, and the H-1 coupling edge are zeroed), so CG iterates
@@ -28,14 +45,16 @@ The sharded level step computes the *same function* as the single-device
 
 The per-shard warp gather is exact for displacements up to the static
 ``halo`` radius; beyond that local indices clamp to the halo (the same
-graceful degradation as any overlap-and-discard tiling).  Coarse-to-fine
-plus the ±1 update clip keeps per-level displacements far below the
-default.
+graceful degradation as any overlap-and-discard tiling).  The method
+drivers size the halo per level from the measured incoming-flow bound
+plus the per-iteration ±1 update clip (``spatial_halo='auto'``), so the
+clamp is never hit on real footage.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from types import SimpleNamespace
 
 import numpy as np
 import jax
@@ -45,7 +64,9 @@ from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from optical_flow_tpu.ops.derivatives import HERMITE_CORNER_SHIFTS, hermite_eval
+from optical_flow_tpu.ops.filters import correlate2d
 from optical_flow_tpu.ops.gather import gather_planes
+from optical_flow_tpu.ops.interp import _bspline3, spline_coeffs_2d
 from optical_flow_tpu.ops.stencil import FlowSystem, blend_systems
 from optical_flow_tpu.ops.wmedian import wmedfilt_prepadded
 from optical_flow_tpu.parallel.halo import halo_exchange_rows
@@ -54,6 +75,30 @@ from optical_flow_tpu.parallel.dist import (
     sharded_laplacian_apply_local,
     solve_flow_system_local,
 )
+
+SUPPORTED_INTERP = ("bi-cubic", "bi-linear", "cubic")
+SUPPORTED_SOLVERS = ("pcg", "backslash")
+
+CUBIC_OFFSETS = (-1, 0, 1, 2)
+
+
+def check_spatial_config(interp: str, solver: str):
+    """Loudly reject configurations the sharded level programs cannot run.
+
+    A ``mesh=`` request must never silently compute unsharded: anything
+    here either shards exactly or raises.
+    """
+    if interp not in SUPPORTED_INTERP:
+        raise ValueError(
+            f"spatial sharding (mesh=) does not support interpolation_method="
+            f"{interp!r}; supported: {SUPPORTED_INTERP}"
+        )
+    if solver not in SUPPORTED_SOLVERS:
+        raise ValueError(
+            f"spatial sharding (mesh=) does not support solver={solver!r} "
+            f"(SOR's sequential row sweep is inherently global); supported: "
+            f"{SUPPORTED_SOLVERS}"
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,12 +118,15 @@ class SpatialConfig:
     sync_axes: tuple = ()
 
 
-def spatial_plan(H, W, n, boundary_radius, halo, axis_name=SPACE_AXIS):
+def spatial_plan(H, W, n, boundary_radius, halo, axis_name=SPACE_AXIS,
+                 warp_margin: int = 0):
     """Geometry for sharding H rows over n devices, or None if infeasible.
 
     ``boundary_radius`` is the largest filter radius whose mirror fill must
     be synthesized inside the pad region (the weighted-median ``area_hsz``
-    for the color path, the plain median radius otherwise).
+    for the color path, the plain median radius otherwise).  ``warp_margin``
+    is extra rows the warp reads past the halo (2 for the cubic B-spline's
+    4x4 support, 0 otherwise).
     """
     if n <= 1:
         return None
@@ -92,7 +140,7 @@ def spatial_plan(H, W, n, boundary_radius, halo, axis_name=SPACE_AXIS):
     Hp = H + pad
     Hs = Hp // n
     # single-hop halo exchange and in-shard fix-up feasibility
-    if Hs < max(2 * pad + 1, boundary_radius + 1, halo + 1, 8):
+    if Hs < max(2 * pad + 1, boundary_radius + 1, halo + 1 + warp_margin, 8):
         return None
     if pad > max(H - 1, 0):
         return None  # mirror pads need enough true rows
@@ -105,9 +153,9 @@ def spatial_plan(H, W, n, boundary_radius, halo, axis_name=SPACE_AXIS):
 def _fixup_bottom(x, scfg: SpatialConfig, mode: str):
     """Overwrite the pad rows (last shard only) with mirrored true rows.
 
-    ``mode``: 'reflect' (np.pad reflect — weighted median), 'symmetric'
-    (scipy reflect — plain filters), or 'edge' (clamped warp reads).
-    Static slices only; a no-op when there is no pad.
+    ``mode``: 'reflect' (np.pad reflect — weighted median, spline tables),
+    'symmetric' (scipy reflect — plain filters), or 'edge' (clamped warp
+    reads).  Static slices only; a no-op when there is no pad.
     """
     pad = scfg.pad
     if pad == 0:
@@ -124,36 +172,44 @@ def _fixup_bottom(x, scfg: SpatialConfig, mode: str):
     return jnp.where(idx == scfg.n - 1, fixed, x)
 
 
+def _median_filter_local(scfg: SpatialConfig, x, kh: int, kw: int):
+    """scipy-'reflect' median filter on a row shard, exact at true edges."""
+    cy, cx = kh // 2, kw // 2
+    x = _fixup_bottom(x, scfg, "symmetric")
+    x_ext = halo_exchange_rows(x, cy, scfg.axis_name, mode="symmetric")
+    padded = jnp.pad(x_ext, ((0, 0), (cx, kw - 1 - cx)), mode="symmetric")
+    views = [
+        padded[dy : dy + scfg.Hs, dx : dx + scfg.W]
+        for dy in range(kh)
+        for dx in range(kw)
+    ]
+    stack = jnp.sort(jnp.stack(views, axis=-1), axis=-1)
+    return stack[..., (kh * kw) // 2]
+
+
 # ---------------------------------------------------------------------------
-# the local (inside-shard_map) level program
+# shared warp + derivative machinery (inside shard_map)
 # ---------------------------------------------------------------------------
 
 
-def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
-    """One Classic+NL pyramid level on a row shard.
+def _warp_setup(scfg: SpatialConfig, images, interp, deriv_filter, blend,
+                spline_tables, dtype):
+    """Flow-independent warp tables and samplers on a row shard.
 
-    ``images`` (Hs, W, 2), ``color`` (Hs, W, 3) [or any shape when
-    ``cfg.use_color`` is False], ``uv`` (Hs, W, 2).  Mirrors
-    ``classic_nl_level_step`` exactly (see module docstring).
+    Mirrors :func:`~optical_flow_tpu.ops.derivatives.precompute_warp` +
+    :func:`warp_deriv` for all three interpolation paths.  ``spline_tables``
+    (the 'cubic' path only) are row shards of the GLOBAL spline coefficient
+    arrays, pad rows already reflect-filled by the host wrapper.
     """
-    irls = cfg.irls
     ax = scfg.axis_name
     R, Hs, W, H_true = scfg.halo, scfg.Hs, scfg.W, scfg.H_true
-    dtype = uv.dtype
-    if irls.interp not in ("bi-cubic", "bi-linear"):
-        raise ValueError(
-            f"spatial sharding supports bi-cubic/bi-linear warps, not {irls.interp!r}"
-            " (the cubic B-spline prefilter is a global operator)"
-        )
 
-    f = np.asarray(irls.deriv_filter, dtype=np.float64)
+    f = np.asarray(deriv_filter, dtype=np.float64)
     fx_k, fy_k, fxy_k = f.reshape(1, -1), f.reshape(-1, 1), np.outer(f, f)
     rv = fy_k.shape[0] // 2  # vertical radius of the derivative filter
 
     row0 = lax.axis_index(ax) * Hs
     g_col = row0 + lax.broadcasted_iota(jnp.int32, (Hs, 1), 0)  # global row ids
-    valid = g_col < H_true  # (Hs, 1): true rows
-    vmask = g_col < H_true - 1  # rows owning a live vertical edge
 
     nc = images.shape[2] // 2
     im1s = tuple(images[:, :, c] for c in range(nc))
@@ -190,32 +246,6 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
         A = halo_exchange_rows(A, R, ax, mode="edge")
         return jnp.pad(A, ((0, 1), (0, 1)), mode="edge")
 
-    if irls.interp == "bi-cubic":
-        warp_tables = tuple(
-            tuple(
-                table_ext(T)
-                for T in (
-                    images[:, :, nc + c],
-                    corr(im_ext[:, :, nc + c], fx_k),
-                    corr(im_ext[:, :, nc + c], fy_k),
-                    corr(im_ext[:, :, nc + c], fxy_k),
-                )
-            )
-            for c in range(nc)
-        )
-    else:  # bi-linear: warp the image and its precomputed derivative images
-        warp_tables = tuple(
-            tuple(
-                table_ext(T)
-                for T in (
-                    images[:, :, nc + c],
-                    corr(im_ext[:, :, nc + c], fx_k),
-                    corr(im_ext[:, :, nc + c], fy_k),
-                )
-            )
-            for c in range(nc)
-        )
-
     def to_local_rows(iy_global):
         return jnp.clip(iy_global - row0 + R, 0, Hs + 2 * R - 1)
 
@@ -251,9 +281,87 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
         bot = v10 * (1.0 - axx) + v11 * axx
         return top * (1.0 - ay) + bot * ay
 
+    occ_tabs = warp_tables = cubic_tabs = None
+    if interp == "bi-cubic":
+        warp_tables = tuple(
+            tuple(
+                table_ext(T)
+                for T in (
+                    images[:, :, nc + c],
+                    corr(im_ext[:, :, nc + c], fx_k),
+                    corr(im_ext[:, :, nc + c], fy_k),
+                    corr(im_ext[:, :, nc + c], fxy_k),
+                )
+            )
+            for c in range(nc)
+        )
+        occ_tabs = tuple(warp_tables[c][0] for c in range(nc))
+    elif interp == "bi-linear":
+        warp_tables = tuple(
+            tuple(
+                table_ext(T)
+                for T in (
+                    images[:, :, nc + c],
+                    corr(im_ext[:, :, nc + c], fx_k),
+                    corr(im_ext[:, :, nc + c], fy_k),
+                )
+            )
+            for c in range(nc)
+        )
+        occ_tabs = tuple(warp_tables[c][0] for c in range(nc))
+    else:  # 'cubic': spline coefficients arrive global-computed and sharded
+        def cubic_ext(C):
+            # reflect fills match jnp.pad(coeffs, 2, 'reflect'): clamped
+            # reads touch at most 2 rows/cols past the true edges
+            Ce = halo_exchange_rows(C, R + 2, ax, mode="reflect")
+            return jnp.pad(Ce, ((0, 0), (2, 2)), mode="reflect")
+
+        cubic_tabs = tuple(
+            tuple(cubic_ext(C) for C in tabs) for tabs in spline_tables
+        )
+        occ_tabs = tuple(table_ext(images[:, :, nc + c]) for c in range(nc))
+
+    HH = Hs + 2 * R + 1
+    cub_shifts = tuple(
+        (dy + 1, dx + 1) for dy in CUBIC_OFFSETS for dx in CUBIC_OFFSETS
+    )
+
+    def cubic_local(tabs, yq, xq):
+        """B-spline evaluation of each table in ``tabs`` at (yq, xq).
+
+        Tap (dy, dx) of base (iy, ix) reads global coefficient row iy+dy —
+        local row (iy - row0 + R + 1) + (dy + 1) of the (R+2)-halo'd table.
+        Weights use the unclamped fractional offsets, exactly as
+        :func:`~optical_flow_tpu.ops.interp.sample_cubic_spline`.
+        """
+        fy = jnp.floor(yq)
+        fxq = jnp.floor(xq)
+        iy = jnp.clip(fy, 0, H_true - 1).astype(jnp.int32)
+        ix = jnp.clip(fxq, 0, W - 1).astype(jnp.int32)
+        liy = jnp.clip(iy - row0 + R + 1, 0, HH - 1)
+        lix = ix + 1
+        planes = jnp.stack(
+            [
+                T[a : a + HH, b : b + W + 1]
+                for T in tabs
+                for (a, b) in cub_shifts
+            ],
+            axis=-1,
+        )
+        taps = gather_planes(planes, liy, lix)
+        wy = [_bspline3(yq - (fy + dy)) for dy in CUBIC_OFFSETS]
+        wx = [_bspline3(xq - (fxq + dx)) for dx in CUBIC_OFFSETS]
+        outs = []
+        for t in range(len(tabs)):
+            out = jnp.zeros_like(yq)
+            for a in range(4):
+                for b in range(4):
+                    out = out + wy[a] * wx[b] * taps[..., t * 16 + a * 4 + b]
+            outs.append(out)
+        return outs
+
     ygrid = (g_col + jnp.zeros((Hs, W), jnp.int32)).astype(dtype)
     xgrid = lax.broadcasted_iota(jnp.int32, (Hs, W), 1).astype(dtype)
-    blend = irls.blend
 
     def warp_deriv_local(uv):
         xq = xgrid + uv[:, :, 0]
@@ -261,13 +369,16 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
         B = (xq > W - 1) | (xq < 0) | (yq > H_true - 1) | (yq < 0)
         Its, Ixs, Iys = [], [], []
         for c in range(nc):
-            if irls.interp == "bi-cubic":
+            if interp == "bi-cubic":
                 warp, wx, wy, mask = hermite_local(warp_tables[c], yq, xq)
-            else:
+            elif interp == "bi-linear":
                 t_im, t_dx, t_dy = warp_tables[c]
                 warp = bilinear_local(t_im, yq, xq)
                 wx = bilinear_local(t_dx, yq, xq)
                 wy = bilinear_local(t_dy, yq, xq)
+                mask = B
+            else:  # cubic
+                warp, wx, wy = cubic_local(cubic_tabs[c], yq, xq)
                 mask = B
             zero = jnp.zeros((), dtype=dtype)
             Its.append(jnp.where(mask, zero, warp - im1s[c]))
@@ -276,6 +387,82 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
         if nc == 1:
             return Its[0], Ixs[0], Iys[0]
         return tuple(jnp.stack(t, axis=2) for t in (Its, Ixs, Iys))
+
+    def occ_sample(c, yq, xq):
+        """Clamped bilinear read of raw frame 2 (occlusion detection)."""
+        return bilinear_local(occ_tabs[c], yq, xq)
+
+    return SimpleNamespace(
+        nc=nc,
+        im1s=im1s,
+        ygrid=ygrid,
+        xgrid=xgrid,
+        g_col=g_col,
+        warp_deriv=warp_deriv_local,
+        occ_sample=occ_sample,
+    )
+
+
+def _global_spline_tables(images, deriv_filter, scfg: SpatialConfig):
+    """GLOBAL spline coefficient tables for the 'cubic' warp path.
+
+    Runs jitted but *outside* shard_map in the host wrapper: the B-spline
+    prefilter is a global tridiagonal solve (recast as dense-inverse MXU
+    matmuls in ops/interp.py), but it is flow-independent per-level
+    preprocessing — only the 4x4 evaluation must be local, and it is
+    (see ``cubic_local``).  Pad rows are reflect-filled so clamped
+    bottom-edge reads (up to 2 rows past H_true) match
+    ``jnp.pad(coeffs, 2, 'reflect')``.
+    """
+    f = np.asarray(deriv_filter, np.float64)
+    fx, fy = f.reshape(1, -1), f.reshape(-1, 1)
+    nc = images.shape[2] // 2
+    out = []
+    for c in range(nc):
+        im2 = images[:, :, nc + c]
+        tabs = (
+            spline_coeffs_2d(im2),
+            spline_coeffs_2d(correlate2d(im2, fx, "reflect")),
+            spline_coeffs_2d(correlate2d(im2, fy, "reflect")),
+        )
+        if scfg.pad:
+            tabs = tuple(
+                jnp.pad(T, ((0, scfg.pad), (0, 0)), mode="reflect") for T in tabs
+            )
+        out.append(tabs)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# the local (inside-shard_map) level programs
+# ---------------------------------------------------------------------------
+
+
+def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha,
+                           spline_tables=()):
+    """One Classic+NL pyramid level on a row shard.
+
+    ``images`` (Hs, W, 2), ``color`` (Hs, W, 3) [or any shape when
+    ``cfg.use_color`` is False], ``uv`` (Hs, W, 2).  Mirrors
+    ``classic_nl_level_step`` exactly (see module docstring).  With
+    ``use_color=False`` this is also the sharded BA level body: the plain
+    median branch ignores occlusion (dead code under XLA DCE), matching
+    ``ba_level_step``'s duv-trick median (``ba.py:194-202``).
+    """
+    irls = cfg.irls
+    ax = scfg.axis_name
+    Hs, W, H_true = scfg.Hs, scfg.W, scfg.H_true
+    dtype = uv.dtype
+    check_spatial_config(irls.interp, irls.solver[0])
+
+    m = _warp_setup(
+        scfg, images, irls.interp, np.asarray(irls.deriv_filter), irls.blend,
+        spline_tables, dtype,
+    )
+    nc = m.nc
+
+    valid = m.g_col < H_true  # (Hs, 1): true rows
+    vmask = m.g_col < H_true - 1  # rows owning a live vertical edge
 
     # ------------------------------------------------------------------
     # IRLS system on the shard (mirrors ops/stencil.build_irls_system)
@@ -322,10 +509,8 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
     solver = irls.solver[0]
     if solver == "pcg":
         rtol, maxiter = irls.solver[1], irls.solver[2]
-    elif solver == "backslash":
+    else:  # backslash (check_spatial_config rejected everything else)
         rtol, maxiter = irls.solver[3], irls.solver[4]
-    else:
-        raise ValueError(f"spatial sharding does not support solver {solver!r}")
 
     def blended_solve_local(uv, duv, It, Ix, Iy):
         sys_q = build_sys_local(
@@ -355,12 +540,12 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
         v_e = halo_exchange_rows(v, 1, ax, mode="edge")  # top fill => 0 diff at row 0
         dvdy = v_e[1:-1] - v_e[:-2]
         div = dudx + dvdy
-        xq = xgrid + u
-        yq = ygrid + v
+        xq = m.xgrid + u
+        yq = m.ygrid + v
         It = jnp.zeros_like(u)
         for c in range(nc):
-            warp = bilinear_local(warp_tables[c][0], yq, xq)
-            It = It + jnp.abs(warp - im1s[c])
+            warp = m.occ_sample(c, yq, xq)
+            It = It + jnp.abs(warp - m.im1s[c])
         It = It / nc
         return jnp.exp(-(div**2) / (2.0 * sigma_d**2)) * jnp.exp(
             -(It**2) / (2.0 * sigma_i_occ**2)
@@ -391,23 +576,13 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
 
     elif irls.median_filter_size is not None:
         kh, kw = irls.median_filter_size
-        cy, cx = kh // 2, kw // 2
-
-        def median_local(x):
-            x = _fixup_bottom(x, scfg, "symmetric")
-            x_ext = halo_exchange_rows(x, cy, ax, mode="symmetric")
-            padded = jnp.pad(x_ext, ((0, 0), (cx, kw - 1 - cx)), mode="symmetric")
-            views = [
-                padded[dy : dy + Hs, dx : dx + W]
-                for dy in range(kh)
-                for dx in range(kw)
-            ]
-            stack = jnp.sort(jnp.stack(views, axis=-1), axis=-1)
-            return stack[..., (kh * kw) // 2]
 
         def nl_filter(new_uv, occ):
             return jnp.stack(
-                [median_local(new_uv[:, :, 0]), median_local(new_uv[:, :, 1])],
+                [
+                    _median_filter_local(scfg, new_uv[:, :, 0], kh, kw),
+                    _median_filter_local(scfg, new_uv[:, :, 1], kh, kw),
+                ],
                 axis=-1,
             )
 
@@ -415,7 +590,7 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
     # warping loop (classic_nl.py:228-277)
     # ------------------------------------------------------------------
     def warp_iter(_, uv):
-        It, Ix, Iy = warp_deriv_local(uv)
+        It, Ix, Iy = m.warp_deriv(uv)
         duv = jnp.zeros_like(uv)
         for _j in range(irls.max_linear):
             duv = blended_solve_local(uv, duv, It, Ix, Iy)
@@ -428,6 +603,93 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
     return lax.fori_loop(0, irls.max_iters, warp_iter, uv)
 
 
+def hs_level_local(cfg, scfg: SpatialConfig, images, uv, spline_tables=()):
+    """One Horn–Schunck pyramid level on a row shard (``hs.py:109-142``).
+
+    The early stop tests the GLOBAL update norm — ``psum`` over the space
+    axis makes every shard's ``while_loop`` take the same trip count; over
+    ``scfg.sync_axes`` (independent solves, e.g. a batch axis) the loop is
+    pmax-synced and each group's flow freezes at its own convergence.
+    """
+    ax = scfg.axis_name
+    Hs, W, H_true = scfg.Hs, scfg.W, scfg.H_true
+    dtype = uv.dtype
+    check_spatial_config(cfg.interp, cfg.solver[0])
+
+    m = _warp_setup(
+        scfg, images, cfg.interp, np.asarray(cfg.deriv_filter), cfg.blend,
+        spline_tables, dtype,
+    )
+
+    valid = m.g_col < H_true
+    vmask = m.g_col < H_true - 1
+    zero = jnp.zeros((), dtype=dtype)
+
+    def cmean(x):
+        return jnp.mean(x, axis=2) if x.ndim == 3 else x
+
+    # unit edge weights (the Neumann graph Laplacian), pad rows decoupled
+    w_edge = cfg.lambda_ / cfg.sigmaS2
+    col_mask = jnp.ones((Hs, W), dtype=dtype).at[:, -1].set(0.0)
+    wh = jnp.where(valid, w_edge * col_mask, zero)
+    wv = jnp.where(vmask, jnp.full((Hs, W), w_edge, dtype), zero)
+
+    def build_sys(uv, It, Ix, Iy):
+        a11 = jnp.where(valid, cmean(Ix**2) / cfg.sigmaD2, zero)
+        a12 = jnp.where(valid, cmean(Ix * Iy) / cfg.sigmaD2, zero)
+        a22 = jnp.where(valid, cmean(Iy**2) / cfg.sigmaD2, zero)
+        Itx = cmean(It * Ix) / cfg.sigmaD2
+        Ity = cmean(It * Iy) / cfg.sigmaD2
+        u, v = uv[:, :, 0], uv[:, :, 1]
+        b_u = jnp.where(valid, -sharded_laplacian_apply_local(wh, wv, u, ax) - Itx, zero)
+        b_v = jnp.where(valid, -sharded_laplacian_apply_local(wh, wv, v, ax) - Ity, zero)
+        return FlowSystem(a11, a12, a22, wh, wv, wh, wv, b_u, b_v)
+
+    solver = cfg.solver[0]
+    if solver == "pcg":
+        rtol, maxiter = cfg.solver[1], cfg.solver[2]
+    else:  # backslash
+        rtol, maxiter = cfg.solver[3], cfg.solver[4]
+
+    def median_pass(uv):
+        if cfg.median_filter_size is None:
+            return uv
+        kh, kw = cfg.median_filter_size
+        for _ in range(cfg.mf_iter):
+            uv = jnp.stack(
+                [
+                    _median_filter_local(scfg, uv[:, :, 0], kh, kw),
+                    _median_filter_local(scfg, uv[:, :, 1], kh, kw),
+                ],
+                axis=-1,
+            )
+        return uv
+
+    def cond(state):
+        k, _, cont = state
+        c = cont.astype(jnp.int32)
+        for axn in scfg.sync_axes:
+            c = lax.pmax(c, axn)
+        return jnp.logical_and(k < cfg.max_warping_iters, c > 0)
+
+    def body(state):
+        k, uv, _ = state
+        It, Ix, Iy = m.warp_deriv(uv)
+        sys = build_sys(uv, It, Ix, Iy)
+        x = solve_flow_system_local(sys, ax, rtol, maxiter, sync_axes=scfg.sync_axes)
+        # early stop discards the sub-threshold update (hs.py:127); the norm
+        # is GLOBAL (pad rows contribute exactly 0: their system is masked)
+        cont = jnp.sqrt(lax.psum(jnp.sum(x * x), ax)) >= 1e-3
+        if cfg.limit_update:
+            x = jnp.clip(x, -1.0, 1.0)
+        new_uv = median_pass(uv + x)
+        uv = jnp.where(cont, new_uv, uv)
+        return (k + 1, uv, cont)
+
+    _, uv, _ = lax.while_loop(cond, body, (jnp.asarray(0), uv, jnp.asarray(True)))
+    return uv
+
+
 # ---------------------------------------------------------------------------
 # host-callable wrappers
 # ---------------------------------------------------------------------------
@@ -435,10 +697,21 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha):
 _spatial_cache: dict = {}
 
 
+def _pad_images(images, pad):
+    """Symmetric image pad == scipy-'reflect' filter reads beyond the edge."""
+    return jnp.pad(images, ((0, pad), (0, 0), (0, 0)), mode="symmetric")
+
+
 def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int = 6):
-    """Row-sharded ``classic_nl_level_step``; falls back single-device when
-    the level is too small to tile (coarse pyramid levels)."""
+    """Row-sharded ``classic_nl_level_step``.
+
+    Unsupported *configurations* raise (:func:`check_spatial_config` — never
+    a silent unsharded run); levels geometrically too small to tile (coarse
+    pyramid levels) fall back single-device, which is the intended schedule:
+    coarse levels run replicated, fine levels sharded.
+    """
     H, W = images.shape[:2]
+    check_spatial_config(cfg.irls.interp, cfg.irls.solver[0])
     n = int(mesh.shape[SPACE_AXIS])
     if cfg.use_color:
         boundary_radius = int(cfg.area_hsz)
@@ -446,10 +719,9 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int
         boundary_radius = int(cfg.irls.median_filter_size[0]) // 2
     else:
         boundary_radius = 2
-    scfg = spatial_plan(H, W, n, boundary_radius, halo)
-    if scfg is None or cfg.irls.interp not in ("bi-cubic", "bi-linear") or (
-        cfg.irls.solver[0] not in ("pcg", "backslash")
-    ):
+    margin = 2 if cfg.irls.interp == "cubic" else 0
+    scfg = spatial_plan(H, W, n, boundary_radius, halo, warp_margin=margin)
+    if scfg is None:
         from optical_flow_tpu.methods.classic_nl import classic_nl_level_step
 
         return classic_nl_level_step(cfg, images, color, uv, alpha)
@@ -458,27 +730,29 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int
     if key not in _spatial_cache:
         spec = P(SPACE_AXIS)
         color_spec = spec if cfg.use_color else P()
+        cubic = cfg.irls.interp == "cubic"
         smapped = shard_map(
             partial(classic_nl_level_local, cfg, scfg),
             mesh=mesh,
-            in_specs=(spec, color_spec, spec, P()),
+            in_specs=(spec, color_spec, spec, P(), spec),
             out_specs=spec,
             check_rep=False,
         )
 
         def run(images, color, uv, alpha):
+            tables = ()
+            if cubic:
+                # global prefilter on the TRUE rows, before any padding
+                tables = _global_spline_tables(images, cfg.irls.deriv_filter, scfg)
             if scfg.pad:
-                # symmetric image pad == scipy-'reflect' filter reads beyond
-                # the true edge; color pad mirrors the median's np-'reflect'
-                images = jnp.pad(
-                    images, ((0, scfg.pad), (0, 0), (0, 0)), mode="symmetric"
-                )
+                images = _pad_images(images, scfg.pad)
                 if cfg.use_color:
+                    # color pad mirrors the median's np-'reflect'
                     color = jnp.pad(
                         color, ((0, scfg.pad), (0, 0), (0, 0)), mode="reflect"
                     )
                 uv = jnp.pad(uv, ((0, scfg.pad), (0, 0), (0, 0)))
-            out = smapped(images, color, uv, alpha)
+            out = smapped(images, color, uv, alpha, tables)
             out = out[:H] if scfg.pad else out
             if cfg.irls.guard:
                 # guard on the GLOBAL view, outside shard_map: a per-shard
@@ -490,3 +764,73 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int
 
         _spatial_cache[key] = jax.jit(run)
     return _spatial_cache[key](images, color, uv, jnp.asarray(alpha, uv.dtype))
+
+
+def ba_level_step_spatial(cfg, images, uv, alpha, mesh, halo: int = 6):
+    """Row-sharded ``ba_level_step`` (``cfg``: IRLSLevelConfig).
+
+    The BA level body IS the Classic+NL local program with
+    ``use_color=False``: identical α-blended IRLS solve, identical
+    duv-trick median (``/root/reference/optical_flow/methods/ba.py:140-206``
+    vs ``classic_nl.py:200-277``); the occlusion term is dead code and
+    XLA-eliminated.
+    """
+    from optical_flow_tpu.methods.ba import ba_level_step
+    from optical_flow_tpu.methods.classic_nl import NLLevelConfig
+
+    check_spatial_config(cfg.interp, cfg.solver[0])
+    H, W = images.shape[:2]
+    n = int(mesh.shape[SPACE_AXIS])
+    br = int(cfg.median_filter_size[0]) // 2 if cfg.median_filter_size else 2
+    margin = 2 if cfg.interp == "cubic" else 0
+    if spatial_plan(H, W, n, br, halo, warp_margin=margin) is None:
+        return ba_level_step(cfg, images, uv, alpha)
+    ncfg = NLLevelConfig(
+        irls=cfg, area_hsz=0, sigma_i=0.0, full_version=False, use_color=False
+    )
+    dummy_color = jnp.zeros((1, 1), uv.dtype)
+    return classic_nl_level_step_spatial(ncfg, images, dummy_color, uv, alpha, mesh, halo)
+
+
+def hs_level_step_spatial(cfg, images, uv, mesh, halo: int = 6):
+    """Row-sharded ``hs_level_step`` (``cfg``: HSLevelConfig)."""
+    H, W = images.shape[:2]
+    check_spatial_config(cfg.interp, cfg.solver[0])
+    n = int(mesh.shape[SPACE_AXIS])
+    br = int(cfg.median_filter_size[0]) // 2 if cfg.median_filter_size else 2
+    margin = 2 if cfg.interp == "cubic" else 0
+    scfg = spatial_plan(H, W, n, br, halo, warp_margin=margin)
+    if scfg is None:
+        from optical_flow_tpu.methods.hs import hs_level_step
+
+        return hs_level_step(cfg, images, uv)
+
+    key = (cfg, scfg, mesh)
+    if key not in _spatial_cache:
+        spec = P(SPACE_AXIS)
+        cubic = cfg.interp == "cubic"
+        smapped = shard_map(
+            partial(hs_level_local, cfg, scfg),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_rep=False,
+        )
+
+        def run(images, uv):
+            tables = ()
+            if cubic:
+                tables = _global_spline_tables(images, cfg.deriv_filter, scfg)
+            if scfg.pad:
+                images = _pad_images(images, scfg.pad)
+                uv = jnp.pad(uv, ((0, scfg.pad), (0, 0), (0, 0)))
+            out = smapped(images, uv, tables)
+            out = out[:H] if scfg.pad else out
+            if cfg.guard:
+                from optical_flow_tpu.utils.guard import guard_level
+
+                out = guard_level(out, uv[:H], cfg.guard)
+            return out
+
+        _spatial_cache[key] = jax.jit(run)
+    return _spatial_cache[key](images, uv)

@@ -1,9 +1,25 @@
 """Whole-flow fused programs must match the per-level execution path."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from optical_flow_tpu.config import load_of_method
+
+
+@pytest.fixture(autouse=True)
+def _drop_compiled_programs_per_test():
+    """Per-TEST cache clearing (this module compiles ~17 whole-flow monoliths).
+
+    The per-module clearing in conftest.py is not enough here: XLA:CPU on this
+    jaxlib hard-aborts the process (SIGABRT) on a large compile once too many
+    big executables are live in one process, and this module alone accumulates
+    enough monoliths to trip it when it runs after the rest of the suite.
+    Costs a few recompiles of shared level programs; keeps the canonical
+    `python -m pytest tests/ -q` invocation alive.
+    """
+    yield
+    jax.clear_caches()
 
 
 def _pair(rng, h=40, w=44):

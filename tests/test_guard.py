@@ -6,12 +6,22 @@ tests/test_full_parity.py) exits estimate_flow as ~1e48 garbage.  These
 tests pin the framework's opt-in level-boundary guard: detection +
 rollback on divergent levels, and bit-identical behavior on healthy runs.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.ndimage import gaussian_filter
 
 from optical_flow_tpu.config import load_of_method
+
+
+@pytest.fixture(autouse=True)
+def _drop_compiled_programs_per_test():
+    """Per-TEST cache clearing: guarded monoliths are large executables and
+    this jaxlib's XLA:CPU aborts the process once too many accumulate (see
+    tests/test_fused.py for the full story)."""
+    yield
+    jax.clear_caches()
 from optical_flow_tpu.utils.guard import (
     flow_health,
     flow_is_healthy,
