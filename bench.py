@@ -17,6 +17,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+# persistent EXECUTABLE cache (utils/aotcache.py): JAX_COMPILATION_CACHE_DIR
+# is dead on the axon stack, but serialized executables rehydrate in
+# seconds (measured 197 s cold -> 4.3 s warm for this exact program,
+# bit-identical flows).  Steady-state timing below is unaffected either way.
+os.environ.setdefault("OFTPU_AOT_CACHE", os.path.join(REPO, ".aot_cache"))
 
 import numpy as np  # noqa: E402
 
@@ -58,7 +63,8 @@ def main():
     t0 = time.time()
     uv = np.asarray(estimate_flow(im1, im2, "classic+nl-fast", params))
     warm = time.time() - t0
-    log(f"warmup total (incl. compile): {warm:.1f}s")
+    cache_state = "warm" if warm < 30 else "cold"
+    log(f"warmup total (incl. compile): {warm:.1f}s (aot exe cache {cache_state})")
 
     # A cold or recovering TPU worker can inflate a whole process's early
     # runs several-fold (measured: 5.85 s then 0.45 s in-process); keep

@@ -45,18 +45,27 @@ def main():
 
     results = {}
     params = {"display": False}
-    print(f"{'sequence':<14} {'AAE':>7} {'AEPE':>7} {'sec':>7}")
+    print(f"{'sequence':<14} {'AAE':>7} {'AEPE':>7} {'sec':>7} {'warmup':>8}")
     for seq in args.sequences:
         im1, im2, tu, tv = read_flow_file(seq, 10)
         if tu is None:
             continue
-        # warm-up compiles are shared across same-shape sequences
+        # first call pays the (shape-keyed) compile; report it separately
+        # from the steady-state per-frame time so neither number is polluted
+        t0 = time.time()
+        uv = np.asarray(estimate_flow(im1, im2, args.method, params))
+        warmup = time.time() - t0
         t0 = time.time()
         uv = np.asarray(estimate_flow(im1, im2, args.method, params))
         dt = time.time() - t0
         aae, _, aepe = flow_angular_error(tu, tv, uv[:, :, 0], uv[:, :, 1])
-        results[seq] = {"aae": round(float(aae), 3), "aepe": round(float(aepe), 4), "sec": round(dt, 2)}
-        print(f"{seq:<14} {aae:7.3f} {aepe:7.4f} {dt:7.2f}")
+        results[seq] = {
+            "aae": round(float(aae), 3),
+            "aepe": round(float(aepe), 4),
+            "sec": round(dt, 2),
+            "warmup_sec": round(warmup, 2),
+        }
+        print(f"{seq:<14} {aae:7.3f} {aepe:7.4f} {dt:7.2f} {warmup:8.2f}")
 
     avg_aae = float(np.mean([r["aae"] for r in results.values()]))
     avg_aepe = float(np.mean([r["aepe"] for r in results.values()]))

@@ -278,7 +278,13 @@ class AltBAOpticalFlow(BAOpticalFlow):
         ):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
-        return alt_ba_flow_from_rgb(self._make_alt_plan(sz), im1, im2, self.dtype)
+        plan = self._make_alt_plan(sz)
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        return cached_call(
+            alt_ba_flow_from_rgb, "alt_ba_flow_from_rgb", plan,
+            (plan, im1, im2, self.dtype), (im1, im2),
+        )
 
     def compute_flow_from_gray(self, im1, im2):
         if not (
@@ -289,7 +295,13 @@ class AltBAOpticalFlow(BAOpticalFlow):
         ):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
-        return alt_ba_flow_from_gray(self._make_alt_plan(sz), im1, im2, self.dtype)
+        plan = self._make_alt_plan(sz)
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        return cached_call(
+            alt_ba_flow_from_gray, "alt_ba_flow_from_gray", plan,
+            (plan, im1, im2, self.dtype), (im1, im2),
+        )
 
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""

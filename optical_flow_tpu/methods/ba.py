@@ -317,7 +317,13 @@ class BAOpticalFlow(BaseOpticalFlow):
         ):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
-        return ba_flow_from_rgb(self._make_plan(sz), im1, im2, self.dtype)
+        plan = self._make_plan(sz)
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        return cached_call(
+            ba_flow_from_rgb, "ba_flow_from_rgb", plan,
+            (plan, im1, im2, self.dtype), (im1, im2),
+        )
 
     def compute_flow_from_gray(self, im1, im2):
         if not (
@@ -329,7 +335,13 @@ class BAOpticalFlow(BaseOpticalFlow):
         ):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
-        return ba_flow_from_gray(self._make_plan(sz), im1, im2, self.dtype)
+        plan = self._make_plan(sz)
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        return cached_call(
+            ba_flow_from_gray, "ba_flow_from_gray", plan,
+            (plan, im1, im2, self.dtype), (im1, im2),
+        )
 
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine estimation (``ba.py:57-138``)."""

@@ -1,0 +1,116 @@
+"""Persistent compiled-executable cache — kills the per-process compile tax.
+
+``JAX_COMPILATION_CACHE_DIR`` is dead on this stack (the axon plugin
+compiles through a remote AOT helper that never consults it), so every
+process repays the full monolith compile (100–1400 s for classic+nl-fast
+@584×388, DESIGN §8).  This module serializes the *compiled executable*
+(``jax.experimental.serialize_executable`` — not just StableHLO: tracing,
+lowering AND backend compilation are all skipped on rehydration) into a
+directory keyed by (jax version, backend+device, program name, static
+config, input avals).
+
+Opt-in: ``export OFTPU_AOT_CACHE=/path/to/dir``.  On any
+serialization/deserialization failure the call falls back to the normal
+jit path (one warning per process) — behavior is identical either way,
+only warmup time changes.
+
+Known backend limits (both handled by the graceful fallback):
+* XLA:CPU cannot serialize 64-bit comparison ops ("`LessThan` is not
+  serializable") — x64 programs fall back.
+* If the same program already executed through plain jit in this process,
+  the backend's compilation cache returns its JIT-runtime executable,
+  which is not serializable either.  Enable the cache from process start
+  (its whole point is cold-start elimination) and the first call owns the
+  compile.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import warnings
+
+import jax
+
+_loaded: dict = {}
+_warned = False
+
+
+def cache_dir():
+    return os.environ.get("OFTPU_AOT_CACHE") or None
+
+
+def _warn_once(msg):
+    global _warned
+    if not _warned:
+        warnings.warn(f"OFTPU_AOT_CACHE disabled: {msg}", stacklevel=3)
+        _warned = True
+
+
+def _key(name: str, static_key, args) -> str:
+    dev = jax.devices()[0]
+    ident = "|".join(
+        [
+            jax.__version__,
+            jax.default_backend(),
+            getattr(dev, "device_kind", str(dev)),
+            name,
+            repr(static_key),
+        ]
+        + [f"{a.shape}:{a.dtype}" for a in args]
+    )
+    return hashlib.sha256(ident.encode()).hexdigest()[:32]
+
+
+def cached_call(jitfn, name: str, static_key, full_args, dyn):
+    """Call ``jitfn(*full_args)`` through the executable cache.
+
+    ``full_args`` is the complete positional call (static + dynamic, in
+    signature order); ``dyn`` is the tuple of just the dynamic (array)
+    arguments in positional order — the rehydrated executable is called
+    with exactly those.  ``static_key`` must determine the traced program
+    together with the arg avals (the frozen plan dataclasses qualify:
+    their repr pins every constant).
+    """
+    d = cache_dir()
+    if d is None:
+        return jitfn(*full_args)
+    if len(jax.devices()) != 1:
+        # deserialize_and_load binds the executable to every local device
+        # of the current backend; on a multi-device client the reloaded
+        # single-device program then demands N input shards.  The cache
+        # targets the single-chip serving process — skip otherwise.
+        _warn_once(f"{len(jax.devices())} local devices; single-device only")
+        return jitfn(*full_args)
+
+    import numpy as np
+
+    dyn = tuple(jax.numpy.asarray(a) if isinstance(a, np.ndarray) else a for a in dyn)
+    key = _key(name, static_key, dyn)
+    comp = _loaded.get(key)
+    if comp is None:
+        path = os.path.join(d, key + ".jaxexe")
+        if os.path.exists(path):
+            try:
+                from jax.experimental import serialize_executable
+
+                with open(path, "rb") as f:
+                    comp = serialize_executable.deserialize_and_load(*pickle.load(f))
+            except Exception as e:  # stale jaxlib, foreign host, ...
+                _warn_once(f"load failed ({e!r}); recompiling")
+                comp = None
+        if comp is None:
+            try:
+                comp = jitfn.lower(*full_args).compile()
+                from jax.experimental import serialize_executable
+
+                os.makedirs(d, exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(serialize_executable.serialize(comp), f)
+                os.replace(tmp, path)
+            except Exception as e:
+                _warn_once(f"serialize failed ({e!r}); plain jit path")
+                return jitfn(*full_args)
+        _loaded[key] = comp
+    return comp(*dyn)

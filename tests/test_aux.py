@@ -61,3 +61,53 @@ def test_stage_timer():
     totals = t.totals()
     assert set(totals) == {"a", "b"}
     assert "a" in t.report()
+
+
+def test_aot_executable_cache(tmp_path):
+    """OFTPU_AOT_CACHE round-trips a compiled monolith through disk.
+
+    Kills the per-process compile tax (DESIGN §8): the serialized
+    EXECUTABLE skips tracing, lowering and backend compilation on reload.
+    The cache targets the single-chip serving process (it declines
+    multi-device backends, e.g. this suite's 8 virtual devices), so the
+    cold-write / warm-load runs happen in two single-device subprocesses;
+    flows from both must be identical.
+    """
+    import subprocess
+    import sys
+
+    script = r"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys, numpy as np
+sys.path.insert(0, "/root/repo")
+from optical_flow_tpu.interface import estimate_flow
+from optical_flow_tpu.utils import aotcache
+rng = np.random.default_rng(0)
+im1 = rng.integers(0, 256, (40, 44)).astype(np.float64)
+im2 = np.roll(im1, 1, axis=1)
+uv = np.asarray(estimate_flow(im1, im2, "hs-brightness", {"display": False, "fuse": True}))
+assert aotcache._loaded, "cached_call did not engage"
+np.save(sys.argv[1], uv)
+"""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["OFTPU_AOT_CACHE"] = str(tmp_path)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(out):
+        subprocess.run(
+            [sys.executable, "-c", script, out], env=env, check=True, timeout=300
+        )
+
+    run(str(tmp_path / "cold.npy"))
+    files = list(tmp_path.glob("*.jaxexe"))
+    assert len(files) == 1 and files[0].stat().st_size > 0
+    mtime = files[0].stat().st_mtime_ns
+
+    run(str(tmp_path / "warm.npy"))
+    assert files[0].stat().st_mtime_ns == mtime  # loaded, not recompiled
+    cold = np.load(tmp_path / "cold.npy")
+    warm = np.load(tmp_path / "warm.npy")
+    np.testing.assert_array_equal(warm, cold)
+    assert cold.shape == (40, 44, 2) and np.isfinite(cold).all()
