@@ -192,7 +192,41 @@ def main():
         + stages["weighted median"]
     )
     finest_iters = 2 * irls.max_iters  # finest level runs in both GNC stages
-    accounted = stages["rof+pyramids"] + 2 * stages["precompute_warp (spline prefilter)"] + finest_iters * per_iter
+
+    # --- the coarse tail (the r2 accounting gap): stage-1 levels 1..L-1
+    # as ONE jitted program (resamples included), and the stage-2 coarse
+    # level (spacing 1.25 => ~0.64x the full-res area — NOT small) --------
+    from optical_flow_tpu.methods.classic_nl import classic_nl_level_step
+    from optical_flow_tpu.ops.resample import resample_flow
+
+    dummy = jnp.zeros((1, 1), jnp.float32)
+
+    def stage1_tail(pyr_arrays, alpha):
+        f = jnp.zeros((*pyr_arrays[-1].shape[:2], 2), jnp.float32)
+        for lvl in range(levels - 1, 0, -1):
+            f = resample_flow(f, pyr_arrays[lvl].shape[:2])
+            f = classic_nl_level_step(cfg, pyr_arrays[lvl], dummy, f, alpha)
+        # plus the final resample up to full res that precedes the finest level
+        return resample_flow(f, pyr_arrays[0].shape[:2])
+
+    dt, uv_tail = timed(stage1_tail, tuple(pyr), jnp.float32(1.0), reps=args.reps)
+    stages["stage1 coarse tail (levels 1..%d + resamples)" % (levels - 1)] = dt
+
+    def stage2_coarse(gp, f, alpha):
+        f = resample_flow(f, gp[1].shape[:2])
+        f = classic_nl_level_step(cfg, gp[1], dummy, f, alpha)
+        return resample_flow(f, gp[0].shape[:2])
+
+    dt, _ = timed(stage2_coarse, tuple(gnc_pyr), uv_tail, jnp.float32(0.0), reps=args.reps)
+    stages["stage2 coarse level (%dx%d + resamples)" % gnc_pyr[1].shape[:2]] = dt
+
+    accounted = (
+        stages["rof+pyramids"]
+        + 2 * stages["precompute_warp (spline prefilter)"]
+        + finest_iters * per_iter
+        + stages["stage1 coarse tail (levels 1..%d + resamples)" % (levels - 1)]
+        + stages["stage2 coarse level (%dx%d + resamples)" % gnc_pyr[1].shape[:2]]
+    )
 
     # --- end-to-end -------------------------------------------------------
     results = {
@@ -202,6 +236,11 @@ def main():
         "per_warp_iter_s": round(per_iter, 4),
         "finest_level_iters": finest_iters,
         "accounted_s": round(accounted, 3),
+        "accounting_note": (
+            "accounted = rof+pyramids + 2*precompute + finest_iters*per_iter"
+            " + stage1 coarse tail + stage2 coarse level; remaining gap vs"
+            " e2e is per-dispatch tunnel latency (per-level path only)"
+        ),
     }
 
     if not args.skip_e2e:

@@ -1,0 +1,35 @@
+"""Multi-host (2-process) runtime path — executes benchmarks/multihost.py.
+
+Two OS processes x 4 virtual CPU devices, jax.distributed against a
+localhost coordinator: the DP batch mesh and the sharded-SP level step
+(halo ppermute + CG psum crossing the process boundary over Gloo) must
+reproduce the unsharded programs.  See MULTIHOST.json / DESIGN §8.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_multihost_two_process_dryrun(tmp_path):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "multihost.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        cwd=str(tmp_path),  # MULTIHOST.json still lands at the repo root
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["ok"] is True
+    assert res["global_devices"] == 8 and res["processes"] == 2
+    assert res["dp_max_abs_diff_vs_unsharded"] == 0.0
+    assert res["sp_max_abs_diff_vs_unsharded"] < 1e-4
+    assert abs(res["dp_mean_u_interior"] - 1.0) < 0.05
