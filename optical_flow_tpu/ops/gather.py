@@ -28,7 +28,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'auto' | 'displaced' | 'perplane' | 'batched' | 'onehot'
+# 'auto' | 'displaced' | 'displaced_blocked' | 'perplane' | 'batched' | 'onehot'
 # (onehot kept for experimentation only — it is exact solely when one of
 # the index fields is the identity).  'auto' picks the displacement-tiered
 # shift sweep ('displaced') on TPU: its fori-loop form compiles fine (one
@@ -44,8 +44,10 @@ def _impl(shapes_match: bool) -> str:
         if shapes_match and jax.default_backend() == "tpu":
             return "displaced"
         return "perplane"
-    if impl == "displaced" and not shapes_match:
+    if impl in ("displaced", "displaced_blocked") and not shapes_match:
         return "perplane"
+    if impl == "displaced_blocked":
+        return "displaced"  # variant selection happens inside the impl
     return impl
 
 
@@ -92,6 +94,17 @@ def gather_planes(planes, iy, ix):
 # motions take the per-plane gather fallback (on-device lax.cond).
 _MAX_TIER = 5
 
+# Row-blocked sweep (see sweep_blocked): block height, and the minimum
+# image height at which 'auto' prefers the blocked variant — small frames
+# have few blocks to localize over and the global sweep is already tuned.
+_BLOCK_ROWS = 128
+_BLOCK_MIN_H = 1024
+# The blocked sweep's cost scales with the LOCAL displacement range, so it
+# affords a much larger static pad before the per-plane fallback: coherent
+# multi-pixel flows (4K fine levels) sweep in near-constant time where the
+# global-rectangle sweep would pay (2D+1)^2 passes.
+_MAX_TIER_BLOCKED = 24
+
 
 def _gather_displaced_impl(planes, iy, ix):
     """Displacement-rectangle sweep over (B, H, W, K) planes / (B, H, W) indices.
@@ -120,17 +133,22 @@ def _gather_displaced_impl(planes, iy, ix):
     dj = ix - jj
     D = jnp.maximum(jnp.max(jnp.abs(di)), jnp.max(jnp.abs(dj)))
 
-    P = jnp.pad(
-        planes, ((0, 0), (_MAX_TIER, _MAX_TIER), (_MAX_TIER, _MAX_TIER), (0, 0))
+    use_blocked = GATHER_IMPL == "displaced_blocked" or (
+        GATHER_IMPL in ("auto", "displaced") and H >= _BLOCK_MIN_H
     )
+    # the blocked sweep's pass count scales with the LOCAL range, so it can
+    # afford a much larger static pad before the per-plane fallback bites
+    TIER = _MAX_TIER_BLOCKED if use_blocked else _MAX_TIER
+
+    P = jnp.pad(planes, ((0, 0), (TIER, TIER), (TIER, TIER), (0, 0)))
 
     def sweep():
         dylo, dyhi = jnp.min(di), jnp.max(di)
         dxlo, dxhi = jnp.min(dj), jnp.max(dj)
         wdx = dxhi - dxlo + 1
         num = (dyhi - dylo + 1) * wdx
-        n = 2 * _MAX_TIER + 1
-        code = (di + _MAX_TIER) * n + (dj + _MAX_TIER)
+        n = 2 * TIER + 1
+        code = (di + TIER) * n + (dj + TIER)
 
         def cond(state):
             t, _ = state
@@ -143,16 +161,76 @@ def _gather_displaced_impl(planes, iy, ix):
             zero = jnp.int32(0)
             view = jax.lax.dynamic_slice(
                 P,
-                (zero, jnp.int32(_MAX_TIER) + dy, jnp.int32(_MAX_TIER) + dx, zero),
+                (zero, jnp.int32(TIER) + dy, jnp.int32(TIER) + dx, zero),
                 (B, H, W, K),
             )
-            hit = code == (dy + _MAX_TIER) * n + (dx + _MAX_TIER)
+            hit = code == (dy + TIER) * n + (dx + TIER)
             return t + 1, acc + jnp.where(hit[:, :, :, None], view, 0.0)
 
         _, out = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.zeros_like(planes))
         )
         return out
+
+    def sweep_blocked():
+        """Row-blocked sweep: each block pays only ITS displacement rectangle.
+
+        The global sweep's pass count is the GLOBAL rectangle — a smooth
+        flow spanning ±4 px across the frame costs ~80 passes even though
+        any 128-row band locally spans ~1 px.  Blocking converts the cost
+        from global range to mean local range (measured at 4K: the finest
+        -level warp stops scaling with total flow magnitude).  Worst case
+        (pixel-frequency displacement oscillation) equals the global sweep.
+        """
+        T = TIER
+        Rb = _BLOCK_ROWS
+        NB = -(-H // Rb)
+        pad_r = NB * Rb - H
+        # padded rows carry d = (0, 0): at most widens the last block's
+        # rectangle to include the zero offset
+        di_p = jnp.pad(di, ((0, 0), (0, pad_r), (0, 0)))
+        dj_p = jnp.pad(dj, ((0, 0), (0, pad_r), (0, 0)))
+        n = 2 * T + 1
+        code_p = (di_p + T) * n + (dj_p + T)
+        Pp = jnp.pad(P, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+
+        def block(nb):
+            r0 = (nb * Rb).astype(jnp.int32)  # x64-safe slice index
+            zero = jnp.int32(0)
+            win = jax.lax.dynamic_slice(
+                Pp, (zero, r0, zero, zero), (B, Rb + 2 * T, W + 2 * T, K)
+            )
+            dib = jax.lax.dynamic_slice(di_p, (zero, r0, zero), (B, Rb, W))
+            djb = jax.lax.dynamic_slice(dj_p, (zero, r0, zero), (B, Rb, W))
+            cb = jax.lax.dynamic_slice(code_p, (zero, r0, zero), (B, Rb, W))
+            dylo, dyhi = jnp.min(dib), jnp.max(dib)
+            dxlo, dxhi = jnp.min(djb), jnp.max(djb)
+            wdx = dxhi - dxlo + 1
+            num = (dyhi - dylo + 1) * wdx
+
+            def cond(state):
+                t, _ = state
+                return t < num
+
+            def body(state):
+                t, acc = state
+                dy = dylo + t // wdx
+                dx = dxlo + t % wdx
+                view = jax.lax.dynamic_slice(
+                    win, (zero, jnp.int32(T) + dy, jnp.int32(T) + dx, zero),
+                    (B, Rb, W, K),
+                )
+                hit = cb == (dy + T) * n + (dx + T)
+                return t + 1, acc + jnp.where(hit[:, :, :, None], view, 0.0)
+
+            _, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.zeros((B, Rb, W, K), planes.dtype))
+            )
+            return out
+
+        out = jax.lax.map(block, jnp.arange(NB))  # (NB, B, Rb, W, K)
+        out = jnp.moveaxis(out, 0, 1).reshape(B, NB * Rb, W, K)
+        return out[:, :H]
 
     def fallback():
         def one(args):
@@ -161,7 +239,8 @@ def _gather_displaced_impl(planes, iy, ix):
 
         return jax.lax.map(one, (planes, iy, ix))
 
-    return jax.lax.cond(D <= _MAX_TIER, sweep, fallback)
+    chosen = sweep_blocked if use_blocked else sweep
+    return jax.lax.cond(D <= TIER, chosen, fallback)
 
 
 @jax.custom_batching.custom_vmap

@@ -69,3 +69,34 @@ def test_gather_displaced_vmap_batched(rng):
     np.testing.assert_array_equal(
         got_big, np.stack([planes[b][iy_big[b], ix[b]] for b in range(B)])
     )
+
+
+def test_gather_displaced_blocked_sweep_exact(rng, monkeypatch):
+    """The row-blocked sweep variant (H >= _BLOCK_MIN_H, or forced) is exact.
+
+    Blocks pay only their LOCAL displacement rectangle; this pins equality
+    with the plain gather across block boundaries, non-divisible heights,
+    per-block empty/full rectangles, and the big-displacement fallback.
+    """
+    import importlib
+
+    import optical_flow_tpu.ops.gather as g
+
+    monkeypatch.setattr(g, "GATHER_IMPL", "displaced_blocked")
+    monkeypatch.setattr(g, "_BLOCK_ROWS", 16)  # many blocks at test sizes
+
+    for H, W, K, mag in [(50, 33, 3, 2), (64, 20, 5, 5), (47, 28, 2, 0)]:
+        planes = rng.standard_normal((H, W, K)).astype(np.float32)
+        ii, jj = np.mgrid[0:H, 0:W]
+        iy = np.clip(ii + rng.integers(-mag, mag + 1, (H, W)), 0, H - 1).astype(np.int32)
+        ix = np.clip(jj + rng.integers(-mag, mag + 1, (H, W)), 0, W - 1).astype(np.int32)
+        got = np.asarray(g.gather_displaced(planes, iy, ix))
+        np.testing.assert_array_equal(got, planes[iy, ix])
+
+    # fallback (D > tier) under the blocked setting
+    H, W, K = 40, 30, 2
+    planes = rng.standard_normal((H, W, K)).astype(np.float32)
+    iy = rng.integers(0, H, (H, W)).astype(np.int32)
+    ix = rng.integers(0, W, (H, W)).astype(np.int32)
+    got = np.asarray(g.gather_displaced(planes, iy, ix))
+    np.testing.assert_array_equal(got, planes[iy, ix])
