@@ -137,17 +137,27 @@ def estimate_flow_batched_rgb(
     H, W = im1_batch.shape[1:3]
 
     if ope._fuse_enabled() and mesh is None:
+        from optical_flow_tpu.utils.aotcache import cached_call
+
         a1 = _ship_exact(im1_batch, ope.dtype)
         a2 = _ship_exact(im2_batch, ope.dtype)
         if type(ope) is HSOpticalFlow:
             prog = _vmapped_rgb(hs_flow_from_rgb.__wrapped__)
-            return _maybe_cast_out(prog(ope._make_plan((H, W)), a1, a2, ope.dtype), ope.out_dtype)
+            plan = ope._make_plan((H, W))
+            uv = cached_call(prog, "batched_hs_flow_from_rgb", plan,
+                             (plan, a1, a2, ope.dtype), (a1, a2))
+            return _maybe_cast_out(uv, ope.out_dtype)
         if type(ope) is BAOpticalFlow:
             prog = _vmapped_rgb(ba_flow_from_rgb.__wrapped__)
-            return _maybe_cast_out(prog(ope._make_plan((H, W)), a1, a2, ope.dtype), ope.out_dtype)
+            plan = ope._make_plan((H, W))
+            uv = cached_call(prog, "batched_ba_flow_from_rgb", plan,
+                             (plan, a1, a2, ope.dtype), (a1, a2))
+            return _maybe_cast_out(uv, ope.out_dtype)
         plan = ope._make_nl_plan((H, W), use_color=ope.color_images is not None)
         prog = _vmapped_rgb(classic_nl_flow_from_rgb.__wrapped__)
-        return _maybe_cast_out(prog(plan, a1, a2, ope.dtype), ope.out_dtype)
+        uv = cached_call(prog, "batched_classic_nl_flow_from_rgb", plan,
+                         (plan, a1, a2, ope.dtype), (a1, a2))
+        return _maybe_cast_out(uv, ope.out_dtype)
 
     images, color = preprocess_color_batch(im1_batch, im2_batch, dtype=ope.dtype)
     want_color = ope.color_images is not None and type(ope) is ClassicNLOpticalFlow
@@ -215,13 +225,19 @@ def estimate_flow_batched(
     fused = ope._fuse_enabled() and mesh is None
 
     if fused:
+        from optical_flow_tpu.utils.aotcache import cached_call
+
         uv0 = np.zeros((B, H, W, 2), dtype=npdt)
         if type(ope) is HSOpticalFlow:
             prog = _vmapped(hs_flow_program.__wrapped__, 2)
-            return cast(prog(ope._make_plan((H, W)), images_batch, uv0))
+            plan = ope._make_plan((H, W))
+            return cast(cached_call(prog, "batched_hs_flow_program", plan,
+                                    (plan, images_batch, uv0), (images_batch, uv0)))
         if type(ope) is BAOpticalFlow:
             prog = _vmapped(ba_flow_program.__wrapped__, 2)
-            return cast(prog(ope._make_plan((H, W)), images_batch, uv0))
+            plan = ope._make_plan((H, W))
+            return cast(cached_call(prog, "batched_ba_flow_program", plan,
+                                    (plan, images_batch, uv0), (images_batch, uv0)))
         use_color = color_batch is not None
         plan = ope._make_nl_plan((H, W), use_color=use_color)
         color = (
@@ -230,7 +246,9 @@ def estimate_flow_batched(
             else np.zeros((B, 1, 1), dtype=npdt)
         )
         prog = _vmapped(classic_nl_flow_program.__wrapped__, 3)
-        return cast(prog(plan, images_batch, color, uv0))
+        return cast(cached_call(prog, "batched_classic_nl_flow_program", plan,
+                                (plan, images_batch, color, uv0),
+                                (images_batch, color, uv0)))
 
     # preprocessing, batched (scale_image normalizes per pair)
     if ope.texture:
