@@ -65,29 +65,35 @@ def structure_texture_decomposition_rof(im, theta=1.0 / 8, n_iters=100, alp=0.95
     im = jnp.asarray(im)
     im_norm = scale_image(im, -1, 1)
 
-    # The scatter-free XLA loop measures AS FAST as the VMEM-resident Pallas
-    # kernel on a v5e (0.109 s vs 0.122 s at 584x388x2, bit-identical output)
-    # while the kernel pays ~8 min of Mosaic compile on this stack — XLA
-    # already keeps the ~4 MB loop carry resident.  The kernel stays opt-in
-    # for stacks with a persistent compile cache.
+    # Kernel selection (measured on a v5e, bit-identical outputs):
+    # * small images (the loop carry fits VMEM): the scatter-free XLA loop
+    #   measures AS FAST as the whole-image VMEM Pallas kernel (0.109 s vs
+    #   0.122 s at 584x388x2) while the kernel pays ~8 min of Mosaic
+    #   compile — XLA already keeps the ~4 MB carry resident.  XLA default;
+    #   the whole-image kernel stays opt-in (OFTPU_ROF_IMPL=pallas).
+    # * large images (4K: the carry round-trips HBM every iteration, ~8% of
+    #   peak bandwidth): the TILED kernel — VMEM-resident (464, 768)
+    #   windows with overlap-and-discard halos — measures 56 ms vs 159 ms
+    #   per 4K channel (2 s Mosaic compile) and is the 'auto' default.
     import os
 
-    if (
-        os.environ.get("OFTPU_ROF_IMPL") == "pallas"
-        and im.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-    ):
+    impl = os.environ.get("OFTPU_ROF_IMPL", "auto")
+    on_tpu_f32 = im.dtype == jnp.float32 and jax.default_backend() == "tpu"
+    rof2d = lambda x: rof_structure_2d(x, theta, n_iters)
+    if on_tpu_f32 and impl in ("auto", "pallas"):
         from optical_flow_tpu.ops.pallas.rof_kernel import (
+            _HALO_C,
+            _HALO_R,
             rof_structure_2d_pallas,
+            rof_structure_2d_tiled,
             rof_vmem_ok,
         )
 
         if rof_vmem_ok(im.shape[:2]):
-            rof2d = lambda x: rof_structure_2d_pallas(x, theta, n_iters)
-        else:
-            rof2d = lambda x: rof_structure_2d(x, theta, n_iters)
-    else:
-        rof2d = lambda x: rof_structure_2d(x, theta, n_iters)
+            if impl == "pallas":
+                rof2d = lambda x: rof_structure_2d_pallas(x, theta, n_iters)
+        elif n_iters <= min(_HALO_R, _HALO_C):
+            rof2d = lambda x: rof_structure_2d_tiled(x, theta, n_iters)
 
     if im_norm.ndim == 3:
         structure = jnp.stack(

@@ -27,6 +27,25 @@ def test_rof_kernel_matches_xla(rng):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_rof_tiled_kernel_matches_xla(rng):
+    """Overlap-and-discard tiled ROF (the 4K 'auto' kernel) is bit-exact.
+
+    Sizes span multiple tiles in both dims with non-divisible remainders,
+    so tile-interior, tile-boundary, true-edge, and pad-region paths are
+    all exercised (interpret mode; bit-exact on hardware too — measured
+    max|diff| 0.0 at 4K on the v5e, 56 ms vs 159 ms per channel).
+    """
+    from optical_flow_tpu.ops.pallas.rof_kernel import rof_structure_2d_tiled
+
+    im = jnp.asarray(rng.uniform(-1, 1, (300, 600)), jnp.float32)
+    ref = np.asarray(jax.jit(lambda x: rof_structure_2d(x, 1.0 / 8, 40))(im))
+    out = np.asarray(rof_structure_2d_tiled(im, 1.0 / 8, 40, True))
+    np.testing.assert_array_equal(out, ref)
+
+    with pytest.raises(ValueError, match="halo"):
+        rof_structure_2d_tiled(im, 1.0 / 8, 200, True)
+
+
 @pytest.mark.parametrize("shape,hsz,C", [((19, 23), 3, 3), ((40, 300), 7, 3), ((16, 260), 2, 1)])
 def test_wmedian_kernel_bit_exact(rng, shape, hsz, C):
     """The bit-bisection selection must match sort+cumsum+searchsorted exactly."""
