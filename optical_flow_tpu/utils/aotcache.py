@@ -47,6 +47,30 @@ def _warn_once(msg):
         _warned = True
 
 
+_code_fp = None
+
+
+def _code_fingerprint() -> str:
+    """Content hash of the package source: a kernel change must MISS the
+    cache (the key would otherwise happily serve an executable compiled
+    from old code — same shapes, different program)."""
+    global _code_fp
+    if _code_fp is None:
+        import optical_flow_tpu
+
+        pkg = os.path.dirname(os.path.abspath(optical_flow_tpu.__file__))
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(pkg)):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith((".py", ".c")):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        h.update(f.encode())
+                        h.update(fh.read())
+        _code_fp = h.hexdigest()[:16]
+    return _code_fp
+
+
 def _key(name: str, static_key, args) -> str:
     dev = jax.devices()[0]
     ident = "|".join(
@@ -54,6 +78,7 @@ def _key(name: str, static_key, args) -> str:
             jax.__version__,
             jax.default_backend(),
             getattr(dev, "device_kind", str(dev)),
+            _code_fingerprint(),
             name,
             repr(static_key),
         ]
