@@ -174,6 +174,8 @@ def _fixup_bottom(x, scfg: SpatialConfig, mode: str):
 
 def _median_filter_local(scfg: SpatialConfig, x, kh: int, kw: int):
     """scipy-'reflect' median filter on a row shard, exact at true edges."""
+    from optical_flow_tpu.ops.filters import _median_lastaxis_views
+
     cy, cx = kh // 2, kw // 2
     x = _fixup_bottom(x, scfg, "symmetric")
     x_ext = halo_exchange_rows(x, cy, scfg.axis_name, mode="symmetric")
@@ -183,8 +185,8 @@ def _median_filter_local(scfg: SpatialConfig, x, kh: int, kw: int):
         for dy in range(kh)
         for dx in range(kw)
     ]
-    stack = jnp.sort(jnp.stack(views, axis=-1), axis=-1)
-    return stack[..., (kh * kw) // 2]
+    # same pruned-network selection as median_filter2d (bit-equal to sort)
+    return _median_lastaxis_views(views, kh * kw, x.dtype)
 
 
 # ---------------------------------------------------------------------------
