@@ -37,3 +37,50 @@ def test_median_filter_matches_scipy(rng, size):
     mine = np.asarray(median_filter2d(im, size))
     ref = sp_median(im, size=size, mode="reflect")
     np.testing.assert_allclose(mine, ref)
+
+
+def test_median_network_construction():
+    """The pruned Batcher selection network is a correct median selector.
+
+    0-1 principle: the FULL network must sort every 0/1 sequence (checked
+    exhaustively through m=16); the pruned network + +inf padding must then
+    agree with np.median / the rank-(n//2) statistic on adversarial data
+    (duplicates, ties, integer grids) for every window count in use.
+    """
+    import itertools
+
+    from optical_flow_tpu.ops.filters import _batcher_pairs, _median_network
+
+    for m in (2, 4, 8, 16):
+        pairs = _batcher_pairs(m)
+        for bits in itertools.product([0, 1], repeat=m):
+            v = list(bits)
+            for a, b in pairs:
+                if v[a] > v[b]:
+                    v[a], v[b] = v[b], v[a]
+            assert v == sorted(v), f"Batcher m={m} failed on {bits}"
+
+    rng = np.random.default_rng(3)
+    for n in (9, 15, 16, 25, 49):
+        pairs, m, target = _median_network(n)
+        for _ in range(200):
+            x = rng.integers(0, 4, n).astype(float)  # tie-heavy
+            v = list(x) + [np.inf] * (m - n)
+            for a, b in pairs:
+                if v[a] > v[b]:
+                    v[a], v[b] = v[b], v[a]
+            assert v[target] == np.sort(x)[n // 2]
+
+
+def test_median_filter_network_large_window_and_dtypes(rng):
+    """Even windows, integral data, and the >49 sort fallback all match scipy."""
+    im = rng.integers(0, 6, (23, 19)).astype(np.float64)  # heavy duplicates
+    for size in (4, 7, (5, 3)):
+        np.testing.assert_array_equal(
+            np.asarray(median_filter2d(im, size)),
+            sp_median(im, size=size, mode="reflect"),
+        )
+    # 9x9 window (81 > 49): the sort path
+    np.testing.assert_array_equal(
+        np.asarray(median_filter2d(im, 9)), sp_median(im, size=9, mode="reflect")
+    )
