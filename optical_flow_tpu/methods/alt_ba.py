@@ -270,38 +270,30 @@ class AltBAOpticalFlow(BAOpticalFlow):
         )
 
     def compute_flow_from_rgb(self, im1, im2):
+        # spatial_mesh must NOT take the fused path: a mesh request has to
+        # reach compute_flow, which rejects it loudly (Alt-BA is unsharded).
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is AltBAOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_alt_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            alt_ba_flow_from_rgb, "alt_ba_flow_from_rgb", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_alt_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(alt_ba_flow_from_rgb, "alt_ba_flow_from_rgb", plan, im1, im2)
 
     def compute_flow_from_gray(self, im1, im2):
         if not (
             self._fuse_enabled()
+            and self.spatial_mesh is None
             and not self.display
             and self.checkpoint is None
             and type(self) is AltBAOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_alt_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            alt_ba_flow_from_gray, "alt_ba_flow_from_gray", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_alt_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(alt_ba_flow_from_gray, "alt_ba_flow_from_gray", plan, im1, im2)
 
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""

@@ -316,14 +316,8 @@ class BAOpticalFlow(BaseOpticalFlow):
             and type(self) is BAOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            ba_flow_from_rgb, "ba_flow_from_rgb", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(ba_flow_from_rgb, "ba_flow_from_rgb", plan, im1, im2)
 
     def compute_flow_from_gray(self, im1, im2):
         if not (
@@ -334,14 +328,8 @@ class BAOpticalFlow(BaseOpticalFlow):
             and type(self) is BAOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            ba_flow_from_gray, "ba_flow_from_gray", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(ba_flow_from_gray, "ba_flow_from_gray", plan, im1, im2)
 
     def compute_flow(self, init=None, gt=None):
         """GNC + coarse-to-fine estimation (``ba.py:57-138``)."""

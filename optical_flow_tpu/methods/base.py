@@ -209,11 +209,36 @@ class BaseOpticalFlow:
         h = self.spatial_halo
         if h != "auto":
             return int(h)
-        m = float(np.max(np.abs(np.asarray(uv))))
+        if not bool(getattr(self, "limit_update", True)):
+            # without the ±1 update clip the per-iteration growth is
+            # unbounded, so no halo computed from |uv_in| can be exact —
+            # fail loudly rather than silently clamp at shard edges
+            raise ValueError(
+                "spatial_halo='auto' requires limit_update=True (the ±1 "
+                "per-iteration update clip is what bounds flow growth "
+                "within a level); set an explicit integer spatial_halo "
+                "or re-enable limit_update."
+            )
+        # reduce on device, fetch ONE scalar (d2h over the tunnel is the
+        # dominant fixed cost — never ship the whole field)
+        m = float(jnp.max(jnp.abs(uv)))
         if not np.isfinite(m):
             m = 0.0
         req = int(np.ceil(m)) + int(max_growth)
         return max(8, -(-req // 8) * 8)
+
+    def _cached_fused(self, jitfn, name: str, plan, im1, im2):
+        """Call a fused from-RGB/from-GRAY monolith through the executable
+        cache (utils/aotcache.py).  The static key carries BOTH the plan
+        and the compute dtype — the dtype is a static jit argument that
+        appears in neither the plan nor the (uint8) input avals, so leaving
+        it out would serve an f32 executable to an f64 request."""
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        return cached_call(
+            jitfn, name, (plan, np.dtype(self.dtype).name),
+            (plan, im1, im2, self.dtype), (im1, im2),
+        )
 
     # ------------------------------------------------------------------
     def compute_flow_from_rgb(self, im1, im2):

@@ -281,11 +281,8 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
         plan = self._make_nl_plan(sz, use_color=self.color_images is not None)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            classic_nl_flow_from_rgb, "classic_nl_flow_from_rgb", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
+        return self._cached_fused(
+            classic_nl_flow_from_rgb, "classic_nl_flow_from_rgb", plan, im1, im2
         )
 
     def compute_flow_from_gray(self, im1, im2):
@@ -299,11 +296,8 @@ class ClassicNLOpticalFlow(BAOpticalFlow):
             return None
         sz = tuple(int(s) for s in im1.shape[:2])
         plan = self._make_nl_plan(sz, use_color=self.color_images is not None)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            classic_nl_flow_from_gray, "classic_nl_flow_from_gray", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
+        return self._cached_fused(
+            classic_nl_flow_from_gray, "classic_nl_flow_from_gray", plan, im1, im2
         )
 
     def compute_flow(self, init=None, gt=None):

@@ -242,14 +242,8 @@ class HSOpticalFlow(BaseOpticalFlow):
             and type(self) is HSOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            hs_flow_from_rgb, "hs_flow_from_rgb", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(hs_flow_from_rgb, "hs_flow_from_rgb", plan, im1, im2)
 
     def compute_flow_from_gray(self, im1, im2):
         if not (
@@ -260,14 +254,8 @@ class HSOpticalFlow(BaseOpticalFlow):
             and type(self) is HSOpticalFlow
         ):
             return None
-        sz = tuple(int(s) for s in im1.shape[:2])
-        plan = self._make_plan(sz)
-        from optical_flow_tpu.utils.aotcache import cached_call
-
-        return cached_call(
-            hs_flow_from_gray, "hs_flow_from_gray", plan,
-            (plan, im1, im2, self.dtype), (im1, im2),
-        )
+        plan = self._make_plan(tuple(int(s) for s in im1.shape[:2]))
+        return self._cached_fused(hs_flow_from_gray, "hs_flow_from_gray", plan, im1, im2)
 
     def compute_flow(self, init=None, gt=None):
         """Coarse-to-fine Horn–Schunck (``hs.py:49-99``)."""

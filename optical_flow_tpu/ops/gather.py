@@ -133,8 +133,11 @@ def _gather_displaced_impl(planes, iy, ix):
     dj = ix - jj
     D = jnp.maximum(jnp.max(jnp.abs(di)), jnp.max(jnp.abs(dj)))
 
+    # 'displaced_blocked' forces the row-blocked variant, an explicit
+    # 'displaced' forces the global-rectangle sweep (the A/B knob at the
+    # sizes where the two differ); only 'auto' picks by height.
     use_blocked = GATHER_IMPL == "displaced_blocked" or (
-        GATHER_IMPL in ("auto", "displaced") and H >= _BLOCK_MIN_H
+        GATHER_IMPL == "auto" and H >= _BLOCK_MIN_H
     )
     # the blocked sweep's pass count scales with the LOCAL range, so it can
     # afford a much larger static pad before the per-plane fallback bites

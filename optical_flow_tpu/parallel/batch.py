@@ -141,21 +141,25 @@ def estimate_flow_batched_rgb(
 
         a1 = _ship_exact(im1_batch, ope.dtype)
         a2 = _ship_exact(im2_batch, ope.dtype)
+        # the compute dtype is a static jit arg invisible in the (uint8)
+        # input avals — it must be part of the cache key (see
+        # BaseOpticalFlow._cached_fused)
+        dt = np.dtype(ope.dtype).name
         if type(ope) is HSOpticalFlow:
             prog = _vmapped_rgb(hs_flow_from_rgb.__wrapped__)
             plan = ope._make_plan((H, W))
-            uv = cached_call(prog, "batched_hs_flow_from_rgb", plan,
+            uv = cached_call(prog, "batched_hs_flow_from_rgb", (plan, dt),
                              (plan, a1, a2, ope.dtype), (a1, a2))
             return _maybe_cast_out(uv, ope.out_dtype)
         if type(ope) is BAOpticalFlow:
             prog = _vmapped_rgb(ba_flow_from_rgb.__wrapped__)
             plan = ope._make_plan((H, W))
-            uv = cached_call(prog, "batched_ba_flow_from_rgb", plan,
+            uv = cached_call(prog, "batched_ba_flow_from_rgb", (plan, dt),
                              (plan, a1, a2, ope.dtype), (a1, a2))
             return _maybe_cast_out(uv, ope.out_dtype)
         plan = ope._make_nl_plan((H, W), use_color=ope.color_images is not None)
         prog = _vmapped_rgb(classic_nl_flow_from_rgb.__wrapped__)
-        uv = cached_call(prog, "batched_classic_nl_flow_from_rgb", plan,
+        uv = cached_call(prog, "batched_classic_nl_flow_from_rgb", (plan, dt),
                          (plan, a1, a2, ope.dtype), (a1, a2))
         return _maybe_cast_out(uv, ope.out_dtype)
 

@@ -174,19 +174,15 @@ def _fixup_bottom(x, scfg: SpatialConfig, mode: str):
 
 def _median_filter_local(scfg: SpatialConfig, x, kh: int, kw: int):
     """scipy-'reflect' median filter on a row shard, exact at true edges."""
-    from optical_flow_tpu.ops.filters import _median_lastaxis_views
+    from optical_flow_tpu.ops.filters import _median_views_scrubbed
 
     cy, cx = kh // 2, kw // 2
     x = _fixup_bottom(x, scfg, "symmetric")
     x_ext = halo_exchange_rows(x, cy, scfg.axis_name, mode="symmetric")
     padded = jnp.pad(x_ext, ((0, 0), (cx, kw - 1 - cx)), mode="symmetric")
-    views = [
-        padded[dy : dy + scfg.Hs, dx : dx + scfg.W]
-        for dy in range(kh)
-        for dx in range(kw)
-    ]
-    # same pruned-network selection as median_filter2d (bit-equal to sort)
-    return _median_lastaxis_views(views, kh * kw, x.dtype)
+    # same pruned-network selection as median_filter2d (bit-equal to sort,
+    # incl. its NaNs-last behavior — parent scrubbed once)
+    return _median_views_scrubbed(padded, scfg.Hs, scfg.W, kh, kw)
 
 
 # ---------------------------------------------------------------------------
@@ -704,13 +700,17 @@ def _pad_images(images, pad):
     return jnp.pad(images, ((0, pad), (0, 0), (0, 0)), mode="symmetric")
 
 
-def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int = 6):
+def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh,
+                                  halo: int = 6, fallback=None):
     """Row-sharded ``classic_nl_level_step``.
 
     Unsupported *configurations* raise (:func:`check_spatial_config` — never
     a silent unsharded run); levels geometrically too small to tile (coarse
     pyramid levels) fall back single-device, which is the intended schedule:
-    coarse levels run replicated, fine levels sharded.
+    coarse levels run replicated, fine levels sharded.  ``fallback``
+    overrides the single-device program used in that case (the BA wrapper
+    passes its own level step, so the feasibility decision lives in ONE
+    place — here).
     """
     H, W = images.shape[:2]
     check_spatial_config(cfg.irls.interp, cfg.irls.solver[0])
@@ -724,6 +724,8 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh, halo: int
     margin = 2 if cfg.irls.interp == "cubic" else 0
     scfg = spatial_plan(H, W, n, boundary_radius, halo, warp_margin=margin)
     if scfg is None:
+        if fallback is not None:
+            return fallback()
         from optical_flow_tpu.methods.classic_nl import classic_nl_level_step
 
         return classic_nl_level_step(cfg, images, color, uv, alpha)
@@ -780,18 +782,17 @@ def ba_level_step_spatial(cfg, images, uv, alpha, mesh, halo: int = 6):
     from optical_flow_tpu.methods.ba import ba_level_step
     from optical_flow_tpu.methods.classic_nl import NLLevelConfig
 
-    check_spatial_config(cfg.interp, cfg.solver[0])
-    H, W = images.shape[:2]
-    n = int(mesh.shape[SPACE_AXIS])
-    br = int(cfg.median_filter_size[0]) // 2 if cfg.median_filter_size else 2
-    margin = 2 if cfg.interp == "cubic" else 0
-    if spatial_plan(H, W, n, br, halo, warp_margin=margin) is None:
-        return ba_level_step(cfg, images, uv, alpha)
     ncfg = NLLevelConfig(
         irls=cfg, area_hsz=0, sigma_i=0.0, full_version=False, use_color=False
     )
     dummy_color = jnp.zeros((1, 1), uv.dtype)
-    return classic_nl_level_step_spatial(ncfg, images, dummy_color, uv, alpha, mesh, halo)
+    # the too-small-to-tile decision (and its boundary-radius/margin
+    # derivation) lives in classic_nl_level_step_spatial alone; only the
+    # single-device program it falls back to is BA's own
+    return classic_nl_level_step_spatial(
+        ncfg, images, dummy_color, uv, alpha, mesh, halo,
+        fallback=lambda: ba_level_step(cfg, images, uv, alpha),
+    )
 
 
 def hs_level_step_spatial(cfg, images, uv, mesh, halo: int = 6):

@@ -127,6 +127,10 @@ def cached_call(jitfn, name: str, static_key, full_args, dyn):
         if comp is None:
             try:
                 comp = jitfn.lower(*full_args).compile()
+            except Exception as e:
+                _warn_once(f"AOT compile failed ({e!r}); plain jit path")
+                return jitfn(*full_args)
+            try:
                 from jax.experimental import serialize_executable
 
                 os.makedirs(d, exist_ok=True)
@@ -135,7 +139,8 @@ def cached_call(jitfn, name: str, static_key, full_args, dyn):
                     pickle.dump(serialize_executable.serialize(comp), f)
                 os.replace(tmp, path)
             except Exception as e:
-                _warn_once(f"serialize failed ({e!r}); plain jit path")
-                return jitfn(*full_args)
+                # the executable itself is fine — use it for this process,
+                # only the on-disk dump failed (e.g. the x64 XLA:CPU case)
+                _warn_once(f"serialize failed ({e!r}); executable kept in-process")
         _loaded[key] = comp
     return comp(*dyn)

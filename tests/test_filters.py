@@ -72,6 +72,49 @@ def test_median_network_construction():
             assert v[target] == np.sort(x)[n // 2]
 
 
+def test_median_network_nan_semantics(rng):
+    """The min/max network must place NaNs LAST, like jnp.sort.
+
+    min/max propagate NaN, so the naive network turns one bad pixel into a
+    k×k NaN patch per median pass; the sort path instead self-heals isolated
+    solver NaNs.  Pin: a single NaN pixel yields a fully finite median
+    field, and a majority-NaN window yields NaN exactly where the sort
+    would (regression test for the network NaN-poisoning bug).
+    """
+    import jax.numpy as jnp
+
+    im = rng.standard_normal((12, 14)).astype(np.float32)
+    im_nan = im.copy()
+    im_nan[5, 7] = np.nan
+    for size in (3, 5):
+        out = np.asarray(median_filter2d(im_nan, size))
+        assert np.isfinite(out).all(), f"one NaN spread through a {size}x{size} window"
+        # away from the NaN pixel the result is untouched
+        clean = np.asarray(median_filter2d(im, size))
+        far = np.ones_like(out, bool)
+        far[5 - size : 5 + size + 1, 7 - size : 7 + size + 1] = False
+        np.testing.assert_array_equal(out[far], clean[far])
+    # majority-NaN region: both the network path and the explicit sort
+    # rank-select agree (NaN where > half the window is NaN)
+    im_bad = im.copy()
+    im_bad[2:9, 2:9] = np.nan
+    for size in (3, 5):
+        out = np.asarray(median_filter2d(im_bad, size))
+        k = size * size
+        pad = size // 2
+        padded = np.pad(im_bad, pad, mode="symmetric")
+        stacks = np.stack(
+            [
+                padded[dy : dy + 12, dx : dx + 14]
+                for dy in range(size)
+                for dx in range(size)
+            ],
+            axis=-1,
+        )
+        ref = np.asarray(jnp.sort(jnp.asarray(stacks), axis=-1))[..., k // 2]
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_median_filter_network_large_window_and_dtypes(rng):
     """Even windows, integral data, and the >49 sort fallback all match scipy."""
     im = rng.integers(0, 6, (23, 19)).astype(np.float64)  # heavy duplicates

@@ -236,6 +236,12 @@ def test_spatial_mesh_unsupported_raises_loudly():
     ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
     with pytest.raises(ValueError, match="spatial sharding"):
         ope.compute_flow()
+    # the fused from-RGB/from-GRAY paths must NOT swallow a mesh request:
+    # they decline (return None) so the mesh reaches compute_flow's raise
+    ope.fuse = True
+    rgb = np.repeat(im1[:, :, None], 3, axis=2).astype(np.uint8)
+    assert ope.compute_flow_from_rgb(rgb, rgb) is None
+    assert ope.compute_flow_from_gray(im1.astype(np.uint8), im2.astype(np.uint8)) is None
 
 
 def test_resolve_spatial_halo_auto():
@@ -250,6 +256,14 @@ def test_resolve_spatial_halo_auto():
     assert ope._resolve_spatial_halo(uv, 3) == 32
     # fixed halo passes through
     ope.spatial_halo = 6
+    assert ope._resolve_spatial_halo(uv, 3) == 6
+    # without the ±1 update clip no |uv_in|-derived bound is exact:
+    # 'auto' must fail loudly instead of silently clamping at shard edges
+    ope.spatial_halo = "auto"
+    ope.limit_update = False
+    with pytest.raises(ValueError, match="limit_update"):
+        ope._resolve_spatial_halo(uv, 3)
+    ope.spatial_halo = 6  # an explicit halo stays allowed
     assert ope._resolve_spatial_halo(uv, 3) == 6
 
 
