@@ -108,7 +108,7 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=N
             raise ValueError(
                 f"method {method!r} does not support spatial sharding "
                 "(mesh=); supported families: hs, ba/classic-c/classic++, "
-                "classic+nl"
+                "classic+nl, alt-ba/classic-c-a"
             )
         check_spatial_config(str(ope.interpolation_method), str(ope.solver))
         ope.spatial_mesh = mesh

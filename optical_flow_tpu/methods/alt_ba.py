@@ -191,9 +191,7 @@ def alt_ba_flow_from_gray(plan: AltBAFlowPlan, im1, im2, dtype):
 class AltBAOpticalFlow(BAOpticalFlow):
     """Alternative BA with coupled auxiliary field."""
 
-    # the lambda2-annealed coupling + Li-Osher denoising loop is not yet
-    # sharded; a mesh= request must fail loudly (see compute_flow)
-    spatial_mesh_supported = False
+    spatial_mesh_supported = True  # alt_ba_level_step_spatial (parallel/spatial.py)
 
     def __init__(self):
         super().__init__()
@@ -271,7 +269,7 @@ class AltBAOpticalFlow(BAOpticalFlow):
 
     def compute_flow_from_rgb(self, im1, im2):
         # spatial_mesh must NOT take the fused path: a mesh request has to
-        # reach compute_flow, which rejects it loudly (Alt-BA is unsharded).
+        # reach compute_flow's sharded per-level loop.
         if not (
             self._fuse_enabled()
             and self.spatial_mesh is None
@@ -297,18 +295,13 @@ class AltBAOpticalFlow(BAOpticalFlow):
 
     def compute_flow(self, init=None, gt=None):
         """GNC schedule with qterm / replacement flags (``alt_ba.py:81-187``)."""
-        if self.spatial_mesh is not None:
-            raise ValueError(
-                "Alt-BA does not support spatial sharding (mesh=): the "
-                "coupled auxiliary-field update is not yet sharded.  Drop "
-                "mesh= or use hs / ba / classic+nl."
-            )
         images = self._as_dtype(self.images)
         sz = images.shape[:2]
         uv = jnp.zeros((*sz, 2), dtype=self.dtype) if init is None else self._as_dtype(init)
         uvhat = uv
 
-        if self._fuse_enabled() and not self.display and gt is None and self.checkpoint is None:
+        if (self._fuse_enabled() and self.spatial_mesh is None and not self.display
+                and gt is None and self.checkpoint is None):
             return alt_ba_flow_program(self._make_alt_plan(sz), images, uv, uvhat)
 
         self.pyramid_levels = self._auto_pyramid_levels(images)
@@ -339,14 +332,32 @@ class AltBAOpticalFlow(BAOpticalFlow):
             for level in range(levels - 1, -1, -1):
                 if self.display:
                     print(f"  Pyramid level: {level + 1}")
-                uv, uvhat = alt_ba_level_resampled(
-                    cfg,
-                    current[level],
-                    uv,
-                    uvhat,
-                    jnp.asarray(alpha, self.dtype),
-                    jnp.asarray(replacement),
-                )
+                if self.spatial_mesh is not None:
+                    from optical_flow_tpu.ops.resample import resample_flow
+                    from optical_flow_tpu.parallel.spatial import (
+                        alt_ba_level_step_spatial,
+                    )
+
+                    nsz = tuple(int(s) for s in current[level].shape[:2])
+                    uv = resample_flow(uv, nsz)
+                    uvhat = resample_flow(uvhat, nsz)
+                    # the warp reads only uv; uvhat tracks it through the
+                    # median (which never exceeds its input range)
+                    halo = self._resolve_spatial_halo(uv, self.max_iters)
+                    uv, uvhat = alt_ba_level_step_spatial(
+                        cfg, current[level], uv, uvhat,
+                        jnp.asarray(alpha, self.dtype),
+                        jnp.asarray(replacement), self.spatial_mesh, halo,
+                    )
+                else:
+                    uv, uvhat = alt_ba_level_resampled(
+                        cfg,
+                        current[level],
+                        uv,
+                        uvhat,
+                        jnp.asarray(alpha, self.dtype),
+                        jnp.asarray(replacement),
+                    )
                 if self.checkpoint is not None:
                     self.checkpoint(ignc, level, uv)
 

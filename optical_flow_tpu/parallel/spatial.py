@@ -67,7 +67,7 @@ from optical_flow_tpu.ops.derivatives import HERMITE_CORNER_SHIFTS, hermite_eval
 from optical_flow_tpu.ops.filters import correlate2d
 from optical_flow_tpu.ops.gather import gather_planes
 from optical_flow_tpu.ops.interp import _bspline3, spline_coeffs_2d
-from optical_flow_tpu.ops.stencil import FlowSystem, blend_systems
+from optical_flow_tpu.ops.stencil import FlowSystem, add_coupling, blend_systems
 from optical_flow_tpu.ops.wmedian import wmedfilt_prepadded
 from optical_flow_tpu.parallel.halo import halo_exchange_rows
 from optical_flow_tpu.parallel.mesh import SPACE_AXIS
@@ -436,39 +436,29 @@ def _global_spline_tables(images, deriv_filter, scfg: SpatialConfig):
 # ---------------------------------------------------------------------------
 
 
-def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha,
-                           spline_tables=()):
-    """One Classic+NL pyramid level on a row shard.
+def _solver_params(irls):
+    """(rtol, maxiter) for the level's solver (check_spatial_config already
+    rejected everything but pcg/backslash)."""
+    if irls.solver[0] == "pcg":
+        return irls.solver[1], irls.solver[2]
+    return irls.solver[3], irls.solver[4]
 
-    ``images`` (Hs, W, 2), ``color`` (Hs, W, 3) [or any shape when
-    ``cfg.use_color`` is False], ``uv`` (Hs, W, 2).  Mirrors
-    ``classic_nl_level_step`` exactly (see module docstring).  With
-    ``use_color=False`` this is also the sharded BA level body: the plain
-    median branch ignores occlusion (dead code under XLA DCE), matching
-    ``ba_level_step``'s duv-trick median (``ba.py:194-202``).
+
+def _make_sys_builder(scfg: SpatialConfig, valid, vmask, dtype):
+    """Per-shard IRLS system assembly (mirrors ops/stencil.build_irls_system).
+
+    Shared by the Classic+NL/BA and Alt-BA local level programs: returns
+    ``build_sys_local(uv, duv, It, Ix, Iy, rsu, rsv, rd, lam)`` producing a
+    FlowSystem whose pad-row coefficients and RHS are zeroed (the masked
+    bottom-pad convention — CG iterates are bit-for-bit the unpadded
+    problem's).
     """
-    irls = cfg.irls
     ax = scfg.axis_name
-    Hs, W, H_true = scfg.Hs, scfg.W, scfg.H_true
-    dtype = uv.dtype
-    check_spatial_config(irls.interp, irls.solver[0])
+    Hs, W = scfg.Hs, scfg.W
+    zero = jnp.zeros((), dtype=dtype)
 
-    m = _warp_setup(
-        scfg, images, irls.interp, np.asarray(irls.deriv_filter), irls.blend,
-        spline_tables, dtype,
-    )
-    nc = m.nc
-
-    valid = m.g_col < H_true  # (Hs, 1): true rows
-    vmask = m.g_col < H_true - 1  # rows owning a live vertical edge
-
-    # ------------------------------------------------------------------
-    # IRLS system on the shard (mirrors ops/stencil.build_irls_system)
-    # ------------------------------------------------------------------
     def cmean(x):
         return jnp.mean(x, axis=2) if x.ndim == 3 else x
-
-    zero = jnp.zeros((), dtype=dtype)
 
     def build_sys_local(uv, duv, It, Ix, Iy, rsu, rsv, rd, lam):
         u, v = uv[:, :, 0], uv[:, :, 1]
@@ -504,11 +494,37 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha,
         b_v = jnp.where(valid, b_v, zero)
         return FlowSystem(a11, a12, a22, wu_h, wu_v, wv_h, wv_v, b_u, b_v)
 
-    solver = irls.solver[0]
-    if solver == "pcg":
-        rtol, maxiter = irls.solver[1], irls.solver[2]
-    else:  # backslash (check_spatial_config rejected everything else)
-        rtol, maxiter = irls.solver[3], irls.solver[4]
+    return build_sys_local
+
+
+def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha,
+                           spline_tables=()):
+    """One Classic+NL pyramid level on a row shard.
+
+    ``images`` (Hs, W, 2), ``color`` (Hs, W, 3) [or any shape when
+    ``cfg.use_color`` is False], ``uv`` (Hs, W, 2).  Mirrors
+    ``classic_nl_level_step`` exactly (see module docstring).  With
+    ``use_color=False`` this is also the sharded BA level body: the plain
+    median branch ignores occlusion (dead code under XLA DCE), matching
+    ``ba_level_step``'s duv-trick median (``ba.py:194-202``).
+    """
+    irls = cfg.irls
+    ax = scfg.axis_name
+    Hs, W, H_true = scfg.Hs, scfg.W, scfg.H_true
+    dtype = uv.dtype
+    check_spatial_config(irls.interp, irls.solver[0])
+
+    m = _warp_setup(
+        scfg, images, irls.interp, np.asarray(irls.deriv_filter), irls.blend,
+        spline_tables, dtype,
+    )
+    nc = m.nc
+
+    valid = m.g_col < H_true  # (Hs, 1): true rows
+    vmask = m.g_col < H_true - 1  # rows owning a live vertical edge
+
+    build_sys_local = _make_sys_builder(scfg, valid, vmask, dtype)
+    rtol, maxiter = _solver_params(irls)
 
     def blended_solve_local(uv, duv, It, Ix, Iy):
         sys_q = build_sys_local(
@@ -599,6 +615,102 @@ def classic_nl_level_local(cfg, scfg: SpatialConfig, images, color, uv, alpha,
         return uv + duv
 
     return lax.fori_loop(0, irls.max_iters, warp_iter, uv)
+
+
+def alt_ba_level_local(cfg, scfg: SpatialConfig, images, uv, uvhat, alpha,
+                       replacement, spline_tables=()):
+    """One Alt-BA pyramid level on a row shard.
+
+    Mirrors ``alt_ba_level_step`` (``methods/alt_ba.py``; reference
+    ``/root/reference/optical_flow/methods/alt_ba.py:189-274``): the same
+    α-blended IRLS body as BA/Classic+NL plus (a) the per-pixel diagonal
+    coupling term ``lambda2·rho'(uv−uvhat)`` — elementwise, masked to true
+    rows so pad-row CG iterates stay exactly zero — and (b) the Li–Osher
+    auxiliary-field update, whose iterated median runs through the same
+    halo-exchanged selection network as the plain-median path.  The guard
+    runs OUTSIDE shard_map on the global pair (see the host wrapper).
+    """
+    irls = cfg.irls
+    ax = scfg.axis_name
+    dtype = uv.dtype
+    check_spatial_config(irls.interp, irls.solver[0])
+
+    m = _warp_setup(
+        scfg, images, irls.interp, np.asarray(irls.deriv_filter), irls.blend,
+        spline_tables, dtype,
+    )
+    valid = m.g_col < scfg.H_true
+    vmask = m.g_col < scfg.H_true - 1
+
+    build_sys_local = _make_sys_builder(scfg, valid, vmask, dtype)
+    rtol, maxiter = _solver_params(irls)
+
+    # lambda2 annealing schedule (alt_ba.py:209-212)
+    lambda2s = jnp.asarray(
+        np.logspace(np.log10(1e-4), np.log10(cfg.lambda2), irls.max_iters), dtype
+    )
+
+    mfsz = irls.median_filter_size
+    if mfsz is not None and not isinstance(mfsz, (tuple, list)):
+        mfsz = (int(mfsz), int(mfsz))
+
+    def denoise_lo_local(un, lam_lo):
+        """Sharded ops/denoise.denoise_LO: u <- medfilt(u + λ(un−u))."""
+        if mfsz is None:
+            return un
+        u = un
+        for _ in range(int(cfg.iters_lo)):
+            u_tilde = u + lam_lo * (un - u)
+            u = _median_filter_local(scfg, u_tilde, int(mfsz[0]), int(mfsz[1]))
+        return u
+
+    def warp_iter(i, state):
+        uv, uvhat = state
+        lambda2 = lambda2s[i]
+        It, Ix, Iy = m.warp_deriv(uv)
+        duv = jnp.zeros_like(uv)
+        for _j in range(irls.max_linear):
+            sys_q = build_sys_local(
+                uv, duv, It, Ix, Iy,
+                irls.qua_rho_spatial_u, irls.qua_rho_spatial_v, irls.qua_rho_data,
+                irls.lambda_q,
+            )
+            sys_r = build_sys_local(
+                uv, duv, It, Ix, Iy,
+                irls.rho_spatial_u, irls.rho_spatial_v, irls.rho_data,
+                irls.lambda_,
+            )
+            sys = blend_systems(alpha, sys_q, sys_r)
+
+            # coupling term (alt_ba.py:236-242): diagonal-only, so masking
+            # it to true rows keeps the pad rows fully decoupled (zero
+            # residual) and CG bit-identical to the unpadded problem
+            tmp = cfg.rho_couple.deriv_over_x(uv - uvhat)
+            tmp = jnp.where(valid[:, :, None], tmp, jnp.zeros((), dtype))
+            sys = add_coupling(sys, lambda2 * tmp)
+            delta = lambda2 * tmp * (uvhat - uv)
+            sys = sys._replace(
+                b_u=sys.b_u + delta[:, :, 0], b_v=sys.b_v + delta[:, :, 1]
+            )
+
+            x = solve_flow_system_local(sys, ax, rtol, maxiter, sync_axes=scfg.sync_axes)
+            if irls.limit_update:
+                x = jnp.clip(x, -1.0, 1.0)
+            duv = x
+
+        uv = uv + duv
+        lam_lo = lambda2 / cfg.lambda3
+        uvhat = jnp.stack(
+            [
+                denoise_lo_local(uv[:, :, 0], lam_lo),
+                denoise_lo_local(uv[:, :, 1], lam_lo),
+            ],
+            axis=-1,
+        )
+        uv = jnp.where(replacement, uvhat, uv)
+        return (uv, uvhat)
+
+    return lax.fori_loop(0, irls.max_iters, warp_iter, (uv, uvhat))
 
 
 def hs_level_local(cfg, scfg: SpatialConfig, images, uv, spline_tables=()):
@@ -792,6 +904,67 @@ def ba_level_step_spatial(cfg, images, uv, alpha, mesh, halo: int = 6):
     return classic_nl_level_step_spatial(
         ncfg, images, dummy_color, uv, alpha, mesh, halo,
         fallback=lambda: ba_level_step(cfg, images, uv, alpha),
+    )
+
+
+def alt_ba_level_step_spatial(cfg, images, uv, uvhat, alpha, replacement,
+                              mesh, halo: int = 6):
+    """Row-sharded ``alt_ba_level_step`` (``cfg``: AltBALevelConfig).
+
+    Both coupled fields shard over rows; levels too small to tile fall back
+    to the single-device step (the intended coarse-level schedule).  The
+    divergence guard runs on the GLOBAL (uv, uvhat) pair outside shard_map —
+    a per-shard rollback would splice healthy and rolled-back tiles.
+    """
+    from optical_flow_tpu.methods.alt_ba import alt_ba_level_step
+
+    irls = cfg.irls
+    check_spatial_config(irls.interp, irls.solver[0])
+    H, W = images.shape[:2]
+    n = int(mesh.shape[SPACE_AXIS])
+    mfsz = irls.median_filter_size
+    br = int(mfsz[0]) // 2 if isinstance(mfsz, (tuple, list)) else (
+        int(mfsz) // 2 if mfsz else 2
+    )
+    margin = 2 if irls.interp == "cubic" else 0
+    scfg = spatial_plan(H, W, n, max(br, 2), halo, warp_margin=margin)
+    if scfg is None:
+        return alt_ba_level_step(cfg, images, uv, uvhat, alpha, replacement)
+
+    key = (cfg, scfg, mesh)
+    if key not in _spatial_cache:
+        spec = P(SPACE_AXIS)
+        cubic = irls.interp == "cubic"
+        smapped = shard_map(
+            partial(alt_ba_level_local, cfg, scfg),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P(), P(), spec),
+            out_specs=(spec, spec),
+            check_rep=False,
+        )
+
+        def run(images, uv, uvhat, alpha, replacement):
+            tables = ()
+            if cubic:
+                tables = _global_spline_tables(images, irls.deriv_filter, scfg)
+            if scfg.pad:
+                images = _pad_images(images, scfg.pad)
+                uv = jnp.pad(uv, ((0, scfg.pad), (0, 0), (0, 0)))
+                uvhat = jnp.pad(uvhat, ((0, scfg.pad), (0, 0), (0, 0)))
+            out_uv, out_uvhat = smapped(images, uv, uvhat, alpha, replacement, tables)
+            if scfg.pad:
+                out_uv, out_uvhat = out_uv[:H], out_uvhat[:H]
+            if irls.guard:
+                from optical_flow_tpu.utils.guard import guard_level_pair
+
+                out_uv, out_uvhat = guard_level_pair(
+                    out_uv, out_uvhat, uv[:H], uvhat[:H], irls.guard
+                )
+            return out_uv, out_uvhat
+
+        _spatial_cache[key] = jax.jit(run)
+    return _spatial_cache[key](
+        images, uv, uvhat, jnp.asarray(alpha, uv.dtype), jnp.asarray(replacement)
     )
 
 

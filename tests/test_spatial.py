@@ -152,6 +152,60 @@ def test_spatial_ba_level_step_matches_single_device(interp, H, W):
 
 
 @needs_8
+@pytest.mark.parametrize("interp,H,W", [("cubic", 64, 48), ("bi-cubic", 153, 40)])
+def test_spatial_alt_ba_level_step_matches_single_device(interp, H, W):
+    """Sharded Alt-BA level (coupling term + Li–Osher loop) == alt_ba_level_step."""
+    from optical_flow_tpu.methods.alt_ba import alt_ba_level_step
+    from optical_flow_tpu.parallel.spatial import alt_ba_level_step_spatial
+
+    mesh = flow_mesh(batch=1, space=8)
+    ope = load_of_method("classic-c-a")
+    ope.display = False
+    ope.max_iters = 3
+    ope.itersLO = 2
+    ope.interpolation_method = interp
+    cfg = ope._alt_cfg(max_linear=1)
+
+    rng = np.random.default_rng(11)
+    images, _, uv = _level_inputs(rng, H, W, jnp.float64)
+    # a distinct auxiliary field keeps the coupling term live
+    uvhat = uv + jnp.asarray(
+        np.stack([_smooth(rng, (H, W), 0.6) - 0.3, _smooth(rng, (H, W), 0.6) - 0.3], -1),
+        jnp.float64,
+    )
+    alpha = jnp.asarray(0.4, jnp.float64)
+
+    for replacement in (True, False):
+        repl = jnp.asarray(replacement)
+        ref_uv, ref_uvhat = alt_ba_level_step(cfg, images, uv, uvhat, alpha, repl)
+        out_uv, out_uvhat = alt_ba_level_step_spatial(
+            cfg, images, uv, uvhat, alpha, repl, mesh, halo=6
+        )
+        np.testing.assert_allclose(np.asarray(out_uv), np.asarray(ref_uv), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out_uvhat), np.asarray(ref_uvhat), atol=1e-8)
+
+
+@needs_8
+def test_estimate_flow_spatial_alt_ba_end_to_end():
+    """mesh= shards Alt-BA end-to-end (no method family left unsharded)."""
+    from optical_flow_tpu.interface import estimate_flow
+
+    rng = np.random.default_rng(17)
+    H, W = 96, 64
+    im1 = _smooth(rng, (H, W))
+    im2 = np.roll(im1, 1, axis=1)
+
+    mesh = flow_mesh(batch=1, space=8)
+    # f64: in f32 the CG psum reduction order flips a handful of Li–Osher
+    # median decisions (18/12288 px at ~0.01); in f64 the paths agree tightly
+    params = {"display": False, "max_iters": 3, "itersLO": 1, "dtype": jnp.float64}
+    uv_single = np.asarray(estimate_flow(im1, im2, "classic-c-a", params))
+    uv_spatial = np.asarray(estimate_flow(im1, im2, "classic-c-a", params, mesh=mesh))
+    np.testing.assert_allclose(uv_spatial, uv_single, atol=1e-6)
+    assert abs(uv_spatial[8:-8, 8:-8, 0].mean() - 1.0) < 0.15
+
+
+@needs_8
 @pytest.mark.parametrize("interp,H,W", [("cubic", 64, 48), ("bi-linear", 153, 40)])
 def test_spatial_hs_level_step_matches_single_device(interp, H, W):
     """Sharded HS level (psum'd early-stop norm) == hs_level_step."""
@@ -223,25 +277,29 @@ def test_spatial_mesh_unsupported_raises_loudly():
     im1 = _smooth(rng, (48, 40))
     im2 = np.roll(im1, 1, axis=1)
 
-    with pytest.raises(ValueError, match="does not support spatial sharding"):
-        estimate_flow(im1, im2, "classic-c-a", {"display": False}, mesh=mesh)
     with pytest.raises(ValueError, match="solver"):
         estimate_flow(
             im1, im2, "hs-brightness", {"display": False, "solver": "sor"}, mesh=mesh
         )
-    # direct method-object use raises too
-    ope = load_of_method("classic-c-a")
-    ope.display = False
-    ope.spatial_mesh = mesh
-    ope.images = jnp.stack([jnp.asarray(im1), jnp.asarray(im2)], 2)
-    with pytest.raises(ValueError, match="spatial sharding"):
-        ope.compute_flow()
+    # a method without a sharded level program raises at the surface (every
+    # built-in family shards now; simulate a custom subclass that can't)
+    import unittest.mock as mock
+    import optical_flow_tpu.interface as iface
+
+    ope = load_of_method("hs-brightness")
+    ope.spatial_mesh_supported = False
+    with mock.patch.object(iface, "load_of_method", lambda m: ope):
+        with pytest.raises(ValueError, match="does not support spatial sharding"):
+            estimate_flow(im1, im2, "hs-brightness", {"display": False}, mesh=mesh)
     # the fused from-RGB/from-GRAY paths must NOT swallow a mesh request:
-    # they decline (return None) so the mesh reaches compute_flow's raise
-    ope.fuse = True
+    # they decline (return None) so the mesh reaches compute_flow's sharded loop
+    ope2 = load_of_method("classic-c-a")
+    ope2.display = False
+    ope2.spatial_mesh = mesh
+    ope2.fuse = True
     rgb = np.repeat(im1[:, :, None], 3, axis=2).astype(np.uint8)
-    assert ope.compute_flow_from_rgb(rgb, rgb) is None
-    assert ope.compute_flow_from_gray(im1.astype(np.uint8), im2.astype(np.uint8)) is None
+    assert ope2.compute_flow_from_rgb(rgb, rgb) is None
+    assert ope2.compute_flow_from_gray(im1.astype(np.uint8), im2.astype(np.uint8)) is None
 
 
 def test_resolve_spatial_halo_auto():
