@@ -9,7 +9,7 @@ This is the capability seam the reference cannot scale past
 (``/root/reference/optical_flow/methods/base.py:87-172``: a global spsolve;
 SURVEY §2's tiling table).
 
-Three method families are covered:
+All four method families are covered:
 
 * :func:`classic_nl_level_local` — Classic+NL (and, with ``use_color=False``
   and the occlusion term dead-code-eliminated, exactly the BA IRLS body:
@@ -17,6 +17,9 @@ Three method families are covered:
   ``/root/reference/optical_flow/methods/ba.py:140-206``).
 * :func:`hs_level_local` — Horn–Schunck (``methods/hs.py:109-142``): the
   early-stop ``while_loop`` tests the GLOBAL update norm via ``psum``.
+* :func:`alt_ba_level_local` — Alt-BA (``methods/alt_ba.py``): the shared
+  IRLS core plus the elementwise coupling term and the halo-exchanged
+  Li–Osher median loop.
 
 Interpolation paths: ``'bi-cubic'`` (Hermite), ``'bi-linear'``, and
 ``'cubic'`` (scipy cubic B-spline — the hs/ba/classic-c default).  The
