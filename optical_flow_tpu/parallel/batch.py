@@ -24,6 +24,11 @@ from optical_flow_tpu.methods.classic_nl import (
 )
 from optical_flow_tpu.methods.hs import HSOpticalFlow, hs_flow_program, hs_level_resampled
 from optical_flow_tpu.methods.ba import BAOpticalFlow, ba_flow_program, ba_level_resampled
+from optical_flow_tpu.methods.alt_ba import (
+    AltBAOpticalFlow,
+    alt_ba_flow_program,
+    alt_ba_level_resampled,
+)
 from optical_flow_tpu.ops.rof import structure_texture_decomposition_rof
 from optical_flow_tpu.utils.compat import scale_image
 from optical_flow_tpu.parallel.mesh import BATCH_AXIS
@@ -124,12 +129,15 @@ def estimate_flow_batched_rgb(
     from optical_flow_tpu.interface import _maybe_cast_out, _ship_exact
     from optical_flow_tpu.methods.hs import hs_flow_from_rgb
     from optical_flow_tpu.methods.ba import ba_flow_from_rgb
+    from optical_flow_tpu.methods.alt_ba import alt_ba_flow_from_rgb
     from optical_flow_tpu.methods.classic_nl import classic_nl_flow_from_rgb
 
     ope = load_of_method(method)
     if params is not None:
         ope.parse_input_parameter(params)
-    if type(ope) not in (HSOpticalFlow, BAOpticalFlow, ClassicNLOpticalFlow):
+    if type(ope) not in (
+        HSOpticalFlow, BAOpticalFlow, AltBAOpticalFlow, ClassicNLOpticalFlow
+    ):
         raise ValueError(f"Batched estimation not supported for method '{method}'")
 
     im1_batch = np.asarray(im1_batch)
@@ -155,6 +163,12 @@ def estimate_flow_batched_rgb(
             prog = _vmapped_rgb(ba_flow_from_rgb.__wrapped__)
             plan = ope._make_plan((H, W))
             uv = cached_call(prog, "batched_ba_flow_from_rgb", (plan, dt),
+                             (plan, a1, a2, ope.dtype), (a1, a2))
+            return _maybe_cast_out(uv, ope.out_dtype)
+        if type(ope) is AltBAOpticalFlow:
+            prog = _vmapped_rgb(alt_ba_flow_from_rgb.__wrapped__)
+            plan = ope._make_alt_plan((H, W))
+            uv = cached_call(prog, "batched_alt_ba_flow_from_rgb", (plan, dt),
                              (plan, a1, a2, ope.dtype), (a1, a2))
             return _maybe_cast_out(uv, ope.out_dtype)
         plan = ope._make_nl_plan((H, W), use_color=ope.color_images is not None)
@@ -199,13 +213,16 @@ def estimate_flow_batched(
     forces per-level (the Pallas weighted-median call has no SPMD
     partitioning rule, so the fused program cannot be sharded).
 
-    Supports the HS / BA / Classic+NL method families.
+    Supports all four method families: HS / BA / Alt-BA / Classic+NL.
     """
     ope = load_of_method(method)
     if params is not None:
         ope.parse_input_parameter(params)
-    if type(ope) not in (HSOpticalFlow, BAOpticalFlow, ClassicNLOpticalFlow):
-        # isinstance would silently run e.g. AltBA as its BA parent
+    if type(ope) not in (
+        HSOpticalFlow, BAOpticalFlow, AltBAOpticalFlow, ClassicNLOpticalFlow
+    ):
+        # exact-type dispatch: a custom subclass must not silently run as
+        # its parent family
         raise ValueError(f"Batched estimation not supported for method '{method}'")
 
     images_batch = jnp.asarray(images_batch, dtype=ope.dtype)
@@ -242,6 +259,12 @@ def estimate_flow_batched(
             plan = ope._make_plan((H, W))
             return cast(cached_call(prog, "batched_ba_flow_program", plan,
                                     (plan, images_batch, uv0), (images_batch, uv0)))
+        if type(ope) is AltBAOpticalFlow:
+            prog = _vmapped(alt_ba_flow_program.__wrapped__, 3)
+            plan = ope._make_alt_plan((H, W))
+            return cast(cached_call(prog, "batched_alt_ba_flow_program", plan,
+                                    (plan, images_batch, uv0, uv0),
+                                    (images_batch, uv0, uv0)))
         use_color = color_batch is not None
         plan = ope._make_nl_plan((H, W), use_color=use_color)
         color = (
@@ -254,9 +277,12 @@ def estimate_flow_batched(
                                 (plan, images_batch, color, uv0),
                                 (images_batch, color, uv0)))
 
-    # preprocessing, batched (scale_image normalizes per pair)
+    # preprocessing, batched (scale_image normalizes per pair); Alt-BA's
+    # texture path pins alp=0.95 regardless of self.alp (the reference's
+    # own quirk — alt_ba.py:101-104, mirrored in AltBA.compute_flow)
+    alp = 0.95 if isinstance(ope, AltBAOpticalFlow) else ope.alp
     if ope.texture:
-        pre = jax.jit(jax.vmap(lambda im: structure_texture_decomposition_rof(im, 1.0 / 8, 100, ope.alp)))
+        pre = jax.jit(jax.vmap(lambda im: structure_texture_decomposition_rof(im, 1.0 / 8, 100, alp)))
     else:
         pre = jax.jit(jax.vmap(lambda im: scale_image(im, 0, 255)))
     proc = pre(images_batch)
@@ -307,6 +333,30 @@ def estimate_flow_batched(
             if ope.gnc_iters > 1:
                 alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
         return cast(uv)
+
+    if isinstance(ope, AltBAOpticalFlow):
+        # must dispatch before the BAOpticalFlow branch (AltBA subclasses BA)
+        pyramid = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)(proc)
+        gnc_pyramid = _batched_pyramid(ope.gnc_pyramid_levels, ope.gnc_pyramid_spacing)(proc)
+        step = _vmapped(alt_ba_level_resampled.__wrapped__, 5)
+        uvhat = uv
+        for ignc in range(ope.gnc_iters):
+            replacement = ignc != ope.gnc_iters - 1
+            levels, cur = (
+                (ope.pyramid_levels, pyramid)
+                if ignc == 0
+                else (ope.gnc_pyramid_levels, gnc_pyramid)
+            )
+            cfg = ope._alt_cfg()
+            for level in range(levels - 1, -1, -1):
+                uv, uvhat = step(
+                    cfg, cur[level], uv, uvhat, np.full((B,), alpha, npdt),
+                    np.full((B,), replacement),
+                )
+            if ope.gnc_iters > 1:
+                alpha = max(0.0, min(alpha, 1.0 - (ignc + 1) / (ope.gnc_iters - 1)))
+        # Alt-BA returns the auxiliary field (alt_ba.py:185-187)
+        return cast(uvhat)
 
     if isinstance(ope, BAOpticalFlow):
         pyramid = _batched_pyramid(ope.pyramid_levels, ope.pyramid_spacing)(proc)

@@ -238,10 +238,34 @@ def test_batched_fused_classic_nl_color(synthetic_pair):
     assert np.abs(uv_b[0] - uv_s).mean() < 1e-5
 
 
-def test_batched_alt_ba_rejected():
-    """AltBA subclasses BA — the batched path must refuse it rather than
-    silently running the parent method."""
+def test_batched_alt_ba_matches_single(synthetic_pair):
+    """Batched Alt-BA (fused and per-level) matches the single-pair run.
+
+    Dispatch must hit the Alt-BA branches, never the BA parent (AltBA
+    subclasses BA): the coupling term + Li–Osher + replacement schedule all
+    ride inside the vmapped programs, and the result is the auxiliary field.
+    """
+    from optical_flow_tpu.interface import estimate_flow
     from optical_flow_tpu.parallel.batch import estimate_flow_batched
 
-    with pytest.raises(ValueError, match="classic-c-a"):
-        estimate_flow_batched(np.zeros((1, 16, 16, 2)), "classic-c-a")
+    im1, im2 = synthetic_pair
+    images = np.stack([im1, im2], axis=-1)
+    batch = np.broadcast_to(images, (2, *images.shape))
+    params = {"display": False, "max_iters": 3, "itersLO": 1}
+
+    uv_f = np.asarray(
+        estimate_flow_batched(batch, "classic-c-a", params={**params, "fuse": True})
+    )
+    uv_p = np.asarray(
+        estimate_flow_batched(batch, "classic-c-a", params={**params, "fuse": False})
+    )
+    uv_s = np.asarray(estimate_flow(im1, im2, "classic-c-a", params))
+    assert uv_f.shape == uv_p.shape == (2, *images.shape[:2], 2)
+    # same bounds as the other families, loosened for the LO median's
+    # decision boundaries under f32 reduction reassociation
+    np.testing.assert_allclose(uv_f[0], uv_f[1], atol=1e-4)
+    np.testing.assert_allclose(uv_f, uv_p, atol=3e-2)
+    assert np.abs(uv_f - uv_p).mean() < 1e-3
+    for b in range(2):
+        np.testing.assert_allclose(uv_p[b], uv_s, atol=3e-2)
+        assert np.abs(uv_p[b] - uv_s).mean() < 1e-3
