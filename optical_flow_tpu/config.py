@@ -129,6 +129,15 @@ _PRESETS = {
             "lambda_": 5,
             "lambda_q": 5,
             **_penalties("charbonnier", 1e-3, 1e-3),
+            # the reference's default classic-c-a config DIVERGES on real
+            # frames (its own trajectory reaches max|uv| ~ 1e48 — see
+            # tests/test_full_parity.py::test_alt_ba_divergence_parity*);
+            # so this preset alone defaults the level-boundary recovery
+            # guard ON at the metrics' unknown-flow sentinel (|f| < 1e9 is
+            # scoreable by construction).  Pass {'guard_flow': None} to
+            # reproduce the reference's divergence bit-for-bit (the parity
+            # tests do).
+            "guard_flow": 1e9,
         },
     ),
     "classic-c-brightness": (

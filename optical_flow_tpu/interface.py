@@ -85,8 +85,8 @@ def estimate_flow(im1, im2, method: str = "classic+nl-fast", params=None, mesh=N
         mesh: optional ``jax.sharding.Mesh`` with a ``'space'`` axis — image
             rows are tiled over it and every feasible pyramid level runs as
             one shard_map program with halo exchange + distributed PCG
-            (``parallel/spatial.py``); hs / ba / classic+nl families shard,
-            others raise.  ``params['spatial_halo']`` fixes the warp halo
+            (``parallel/spatial.py``); all four method families shard
+            (hs / ba / classic+nl / alt-ba).  ``params['spatial_halo']`` fixes the warp halo
             radius; the default ``'auto'`` sizes it per level from the
             measured incoming-flow bound, so shard-boundary warp reads are
             exact at any motion magnitude.

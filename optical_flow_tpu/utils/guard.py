@@ -17,12 +17,16 @@ usable flow and lets the remaining levels proceed.
 Everything is traced into the jitted level programs (one fused
 reduce + select, no host synchronization), so the single-dispatch
 whole-flow monoliths and the shard_map spatial path keep their dispatch
-profile.  OFF by default: reference parity includes reproducing the
-reference's own divergences (the parity tests assert the blow-up), so
-recovery must be requested:
+profile.  OFF by default at the method-class level — reference parity
+includes reproducing the reference's own divergences — with ONE preset
+exception: ``classic-c-a`` (the only preset whose default config
+diverges) ships with ``guard_flow=1e9`` in its preset table
+(``config.py``) so all 11 presets return scoreable flow out of the box;
+its parity tests disable it with ``{'guard_flow': None}``.  Enable
+elsewhere via:
 
     ope.guard_flow = 1e9            # method attribute, or
-    estimate_flow(im1, im2, 'classic-c-a', {'guard_flow': 1e9})
+    estimate_flow(im1, im2, 'hs', {'guard_flow': 1e9})
 
 1e9 is the natural threshold — it is the reference's own "unknown flow"
 sentinel (``evaluation/metrics.py``: |f| >= 1e9 is excluded from

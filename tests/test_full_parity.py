@@ -133,6 +133,7 @@ def test_alt_ba_divergence_parity(reference_pkg, rng):
 
     ope = _tight(load_of_method("classic-c-a"))
     ope.display = False
+    ope.guard_flow = None  # parity switch: reproduce the reference blow-up
     ope.images = jnp.asarray(images)
     uv = np.asarray(ope.compute_flow())
     assert np.abs(uv).max() > 1e20  # same blow-up dynamics
@@ -156,7 +157,14 @@ def test_alt_ba_divergence_parity_real_crop(reference_pkg, data_dir):
 
     from optical_flow_tpu.interface import estimate_flow
 
-    uv = np.asarray(estimate_flow(im1c, im2c, "classic-c-a", {"display": False}))
+    # guard_flow=None is the parity switch: the preset now defaults the
+    # level-boundary guard ON (config.py), so reproducing the reference's
+    # divergence requires disabling it explicitly
+    uv = np.asarray(
+        estimate_flow(
+            im1c, im2c, "classic-c-a", {"display": False, "guard_flow": None}
+        )
+    )
     blown = ~np.isfinite(uv) | (np.abs(uv) > 1e20)
     assert blown.any()  # same blow-up dynamics
 

@@ -92,14 +92,17 @@ def test_classic_c_a_guard_recovers():
     ope = load_of_method("classic-c-a")
     ope.display = False
     ope.dtype = jnp.float32  # the TPU dtype: the divergence overflows f32
+    ope.guard_flow = None  # parity switch: reproduce the reference blow-up
     ope.images = images
     blown = np.asarray(ope.compute_flow())
     assert (~np.isfinite(blown)).any() or np.abs(blown).max() > 1e20
 
+    # the preset DEFAULT (config.py: guard_flow=1e9, the reference metrics'
+    # unknown-flow sentinel) recovers without the caller setting anything
     ope = load_of_method("classic-c-a")
+    assert ope.guard_flow == 1e9
     ope.display = False
     ope.dtype = jnp.float32
-    ope.guard_flow = 1e9  # the reference metrics' unknown-flow sentinel
     ope.images = images
     uv = np.asarray(ope.compute_flow())
     assert np.isfinite(uv).all()

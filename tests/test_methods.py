@@ -156,9 +156,12 @@ def test_every_preset_end_to_end(rubberwhale, method):
         estimate_flow(crop1, crop2, method, params={"display": False})
     )
     assert uv.shape == (64, 72, 2)
-    if method != "classic-c-a":
-        assert np.isfinite(uv).all()
-    # classic-c-a's lambda2->100 annealing + 5 Li-Osher iterations diverges
-    # on small/low-texture crops in the REFERENCE too (measured |uv| ~ 5e34
-    # in its f64; our f32 overflows the same blow-up to inf) — faithful
-    # reproduction of an unstable reference configuration.
+    # ALL presets — classic-c-a included — must return finite, scoreable
+    # flow out of the box.  classic-c-a's lambda2->100 annealing + 5
+    # Li-Osher iterations diverges on small/low-texture crops in the
+    # REFERENCE (measured |uv| ~ 5e34 in its f64); this repo defaults the
+    # level-boundary guard ON for that preset (config.py), and the
+    # faithful divergence is still pinned by test_full_parity.py with the
+    # guard_flow=None parity switch.
+    assert np.isfinite(uv).all()
+    assert np.abs(uv).max() <= 1e9
