@@ -17,6 +17,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+# executable cache (utils/aotcache.py): each sequence shape compiles its own
+# whole-flow monolith — warm runs of the full 8-sequence table skip them all
+os.environ.setdefault("OFTPU_AOT_CACHE", os.path.join(REPO, ".aot_cache"))
 
 import numpy as np  # noqa: E402
 
@@ -73,9 +76,48 @@ def main():
     results["_mean"] = {"aae": round(avg_aae, 3), "aepe": round(avg_aepe, 4)}
     results["_method"] = args.method
 
+    gate_fail = check_ref_oracle_gates(results, args.method)
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)
+    if gate_fail:
+        sys.exit(1)
+
+
+# Per-sequence accuracy-parity gates vs the measured reference oracle
+# (benchmarks/results_ref_oracle.json, produced by benchmarks/ref_oracle.py
+# running /root/reference itself on every GT sequence).  Absorbs solver drift
+# (reference 'backslash' spsolve vs this repo's matrix-free PCG) — the
+# reference's own NumPy-vs-MATLAB delta is 0.06 deg AAE on RubberWhale, so
+# the gates are set just above the largest measured repo delta (Urban3:
+# +0.090 deg / +0.0066 px) and well below anything that would indicate an
+# algorithmic divergence.
+AAE_GATE_DEG = 0.2
+AEPE_GATE_PX = 0.01
+
+
+def check_ref_oracle_gates(results, method):
+    oracle_path = os.path.join(REPO, "benchmarks", "results_ref_oracle.json")
+    if not os.path.exists(oracle_path):
+        return False
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    if method != oracle.get("_provenance", {}).get("method", "classic+nl-fast"):
+        return False
+    fail = False
+    print(f"\nvs reference oracle (gates: |dAAE| <= {AAE_GATE_DEG} deg,"
+          f" |dAEPE| <= {AEPE_GATE_PX} px)")
+    print(f"{'sequence':<14} {'dAAE':>8} {'dAEPE':>8}")
+    for seq, r in results.items():
+        if seq.startswith("_") or seq not in oracle:
+            continue
+        d_aae = r["aae"] - oracle[seq]["aae"]
+        d_aepe = r["aepe"] - oracle[seq]["aepe"]
+        bad = abs(d_aae) > AAE_GATE_DEG or abs(d_aepe) > AEPE_GATE_PX
+        fail |= bad
+        print(f"{seq:<14} {d_aae:+8.3f} {d_aepe:+8.4f}{'  GATE FAIL' if bad else ''}")
+    return fail
 
 
 if __name__ == "__main__":

@@ -26,6 +26,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+# executable cache: the fused 4K monolith routes through utils/aotcache.py,
+# so a warm process skips the multi-minute remote AOT compile entirely
+os.environ.setdefault("OFTPU_AOT_CACHE", os.path.join(REPO, ".aot_cache"))
 
 import numpy as np
 

@@ -23,6 +23,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# executable cache: the batched fused serving programs route through
+# utils/aotcache.py (parallel/batch.py), so warm processes skip the compile
+os.environ.setdefault("OFTPU_AOT_CACHE", os.path.join(REPO, ".aot_cache"))
 
 import numpy as np  # noqa: E402
 
