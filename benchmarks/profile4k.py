@@ -101,6 +101,12 @@ def main():
     ap.add_argument("--fused", action="store_true", help="also time the fused monolith e2e")
     ap.add_argument("--skip-e2e", action="store_true")
     ap.add_argument(
+        "--stage2-detail", action="store_true",
+        help="decompose the stage-2 coarse level (1728x3072 at 4K) into its"
+        " components with per-component efficiency vs the area-scaled"
+        " finest-level (roofline-audited) kernels",
+    )
+    ap.add_argument(
         "--solver", default="pcg",
         help="pcg (default; what bench.py runs — identical accuracy, and at 4K"
         " 2.5x faster than the tight-CG 'backslash' mapping) or backslash",
@@ -229,6 +235,66 @@ def main():
     dt, _ = timed(stage2_coarse, tuple(gnc_pyr), uv_tail, jnp.float32(0.0), reps=args.reps)
     stages["stage2 coarse level (%dx%d + resamples)" % gnc_pyr[1].shape[:2]] = dt
 
+    results_stage2 = None
+    # --- stage-2 component decomposition + roofline accounting -----------
+    # The stage-2 coarse level is the same kernels as the finest level at
+    # 1/spacing^2 = 0.64x the pixel count: if each component's time is
+    # ~0.64x its finest-level time, the level runs at the SAME per-pixel
+    # efficiency as the roofline-audited full-res kernels (wmedian: VPU
+    # load roofline, closed; warp: row-blocked local sweep; CG: HBM
+    # working-set floor) — i.e. its cost is ALGORITHM parity (3 warp iters
+    # of a 2nd GNC stage, ba.py:89-109), not kernel waste.
+    if args.stage2_detail:
+        H2, W2 = gnc_pyr[1].shape[:2]
+        proc2 = gnc_pyr[1]
+        area = (H2 * W2) / (H * W)
+        s2 = {}
+        dt, arrs2 = timed(jax.jit(pre_arrays), proc2, reps=args.reps)
+        s2["precompute_warp"] = dt
+        uv2 = resample_flow(uv_tail, (H2, W2))
+        uv2_live = uv2 + 0.3 * jnp.sin(
+            jnp.arange(H2 * W2 * 2, dtype=jnp.float32).reshape(H2, W2, 2)
+        )
+        dt, (It2, Ix2, Iy2) = timed(wd_fn, arrs2, uv2_live, reps=args.reps)
+        s2["warp_deriv"] = dt
+        z2 = jnp.zeros_like(uv2)
+        dt, _ = timed(
+            solve_fn, uv2_live, z2, It2, Ix2, Iy2, jnp.float32(0.0), reps=args.reps
+        )
+        s2["irls+solve"] = dt
+        dt, occ2 = timed(occ_fn, uv2_live, proc2, reps=args.reps)
+        s2["occlusion"] = dt
+        dt, _ = timed(wm_fn, uv2_live, occ2, reps=args.reps)
+        s2["weighted median"] = dt
+
+        from optical_flow_tpu.ops.pallas.cg_kernel import cg_pallas_ok
+        from optical_flow_tpu.ops.pallas.wmedian_kernel import wmedian_pallas_ok
+
+        finest_of = {
+            "warp_deriv": "warp_deriv (bicubic warp gathers)",
+            "irls+solve": "irls system + PCG solve",
+            "occlusion": "occlusion",
+            "weighted median": "weighted median",
+            "precompute_warp": "precompute_warp (spline prefilter)",
+        }
+        detail = {}
+        log(f"\nstage-2 level {W2}x{H2} (area ratio {area:.3f}):")
+        for k, v in s2.items():
+            fin = stages[finest_of[k]]
+            eff = v / (fin * area) if fin > 0 else float("nan")
+            detail[k] = {
+                "s": round(v, 4),
+                "finest_s": round(fin, 4),
+                "vs_area_scaled_finest": round(eff, 3),
+            }
+            log(f"  {k:<18} {v*1000:8.1f} ms   ({eff:.2f}x of area-scaled finest)")
+        detail["_kernels_engaged"] = {
+            "wmedian_pallas": bool(wmedian_pallas_ok(H2, W2, cfg.area_hsz, 1)),
+            "cg_pallas_vmem": bool(cg_pallas_ok(H2, W2)),
+            "cg_fallback": "channel-split XLA PCG (solvers/cg.py::pcg_solve_split)",
+        }
+        results_stage2 = detail
+
     accounted = (
         stages["rof+pyramids"]
         + 2 * stages["precompute_warp (spline prefilter)"]
@@ -251,6 +317,8 @@ def main():
             " e2e is per-dispatch tunnel latency (per-level path only)"
         ),
     }
+    if results_stage2 is not None:
+        results["stage2_detail"] = results_stage2
 
     if not args.skip_e2e:
         ope2 = load_of_method("classic+nl-fast")

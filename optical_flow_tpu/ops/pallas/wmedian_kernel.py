@@ -45,6 +45,24 @@ sign-extension that costs more issue slots than the load saving (the loop
 is issue-bound, not byte-bound).  Hoisting the key encode out of the fill
 loop (encode the window once, slice per offset) measured a wash
 (12.7 vs 12.8 ms) — Mosaic already CSEs the per-offset encodes.
+
+Range-narrowed bisection (r4): analyzed on real flow fields and REJECTED
+before building.  The candidate was a sign-split pre-pass (one extra
+weighted pass at mid=-1 removes the sign gap from the key span) +
+per-sign lo/hi narrowing in the fill loop + a per-tile DYNAMIC trip count
+``max over tile of ceil(log2(hi-lo))``.  The bound is per-TILE, not
+per-pixel: the vectorized loop runs until the widest-span pixel of the
+(8, 256) tile converges, and real flow tiles essentially always contain
+one near-zero-straddling patch.  Measured on Middlebury GT flow
+(/tmp-style analysis, 15x15 windows, hsz=7): mean PIXEL needs 21-26
+rounds, but mean TILE trip is 30.4-31.1 on RubberWhale (predicted time
+ratio 0.98-1.00 — zero headline win), 25.0-26.5 on Urban3/Grove3
+(optimistic ratio 0.81-0.86 BEFORE the narrowing passes' cost, and GT
+flow is smoother than the noisier intermediate IRLS estimates the kernel
+actually filters).  A <=10-15% data-dependent kernel win that is ~0 on
+the headline workload does not justify a dynamic-trip Mosaic loop; the
+32-round fixed count stays.  Selection semantics (weighted_median.py:5-21)
+were never at risk — the candidate was exact.
 """
 from __future__ import annotations
 

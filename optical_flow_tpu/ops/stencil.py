@@ -88,10 +88,20 @@ def weighted_laplacian_diag(w_h, w_v):
 
 def system_apply(sys: FlowSystem, x):
     """``A @ x`` for ``x`` of shape (H, W, 2)."""
-    xu, xv = x[:, :, 0], x[:, :, 1]
+    yu, yv = system_apply_split(sys, x[:, :, 0], x[:, :, 1])
+    return jnp.stack([yu, yv], axis=-1)
+
+
+def system_apply_split(sys: FlowSystem, xu, xv):
+    """``A @ x`` with channel-split state: two (H, W) planes in and out.
+
+    Identical math to :func:`system_apply` minus the stack/unstack — the
+    layout the channel-split CG (``solvers/cg.py::pcg_solve_split``) keeps
+    its whole state in.
+    """
     yu = sys.a11 * xu + sys.a12 * xv + weighted_laplacian_apply(sys.wu_h, sys.wu_v, xu)
     yv = sys.a12 * xu + sys.a22 * xv + weighted_laplacian_apply(sys.wv_h, sys.wv_v, xv)
-    return jnp.stack([yu, yv], axis=-1)
+    return yu, yv
 
 
 def system_diag(sys: FlowSystem):

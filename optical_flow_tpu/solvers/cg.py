@@ -26,9 +26,8 @@ import jax.numpy as jnp
 
 from optical_flow_tpu.ops.stencil import (
     FlowSystem,
-    system_apply,
-    system_diag,
-    system_rhs,
+    system_apply_split,
+    weighted_laplacian_diag,
 )
 
 # 'auto' | 'pallas' | 'xla' — 'auto' routes f32 solves that fit VMEM
@@ -135,6 +134,78 @@ def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=(), 
     return x
 
 
+def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
+    """Block-Jacobi PCG with CHANNEL-SPLIT state: two (H, W) planes.
+
+    Same math, fixed point, preconditioner, and stopping rule as
+    :func:`pcg_solve`; the only numerical difference is dot-product
+    reduction order (two per-plane sums added, instead of one sum over the
+    interleaved (H, W, 2) stack).  The layout is the point: a trailing
+    dimension of 2 makes XLA:TPU tile the CG state as (W, 2) minor dims —
+    2/128 lane occupancy for every elementwise op of the CG body — while
+    two (H, W) planes vectorize fully.  Measured 21% faster per iteration
+    at 4K (DESIGN §4a); harvested in r4 behind ``solve_flow_system``.
+
+    ``apply_A``: (xu, xv) -> (yu, yv) plane pairs
+    (:func:`~optical_flow_tpu.ops.stencil.system_apply_split`).
+    """
+    if x0 is None:
+        xu = jnp.zeros_like(bu)
+        xv = jnp.zeros_like(bv)
+    else:
+        xu, xv = x0
+    dinv_u = jnp.where(jnp.abs(du) > 1e-12, 1.0 / du, 0.0)
+    dinv_v = jnp.where(jnp.abs(dv) > 1e-12, 1.0 / dv, 0.0)
+    if a12 is not None:
+        det = du * dv - a12 * a12
+        ok = jnp.abs(det) > 1e-12
+        safe = jnp.where(ok, det, 1.0)
+        i00 = jnp.where(ok, dv / safe, dinv_u)
+        i01 = jnp.where(ok, -a12 / safe, 0.0)
+        i11 = jnp.where(ok, du / safe, dinv_v)
+
+        def precond(ru, rv):
+            return i00 * ru + i01 * rv, i01 * ru + i11 * rv
+
+    else:
+
+        def precond(ru, rv):
+            return dinv_u * ru, dinv_v * rv
+
+    def dot2(au, av, bu_, bv_):
+        return jnp.sum(au * bu_) + jnp.sum(av * bv_)
+
+    Axu, Axv = apply_A(xu, xv)
+    ru, rv = bu - Axu, bv - Axv
+    zu, zv = precond(ru, rv)
+    rz0 = dot2(ru, rv, zu, zv)
+    tol2 = (rtol**2) * dot2(bu, bv, bu, bv)
+
+    def cond(state):
+        k, _xu, _xv, ru, rv, _zu, _zv, _pu, _pv, _rz = state
+        return jnp.logical_and(k < maxiter, dot2(ru, rv, ru, rv) > tol2)
+
+    def body(state):
+        k, xu, xv, ru, rv, zu, zv, pu, pv, rz = state
+        Apu, Apv = apply_A(pu, pv)
+        pAp = dot2(pu, pv, Apu, Apv)
+        alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+        xu = xu + alpha * pu
+        xv = xv + alpha * pv
+        ru = ru - alpha * Apu
+        rv = rv - alpha * Apv
+        zu, zv = precond(ru, rv)
+        rz_new = dot2(ru, rv, zu, zv)
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        pu = zu + beta * pu
+        pv = zv + beta * pv
+        return (k + 1, xu, xv, ru, rv, zu, zv, pu, pv, rz_new)
+
+    state = (jnp.asarray(0), xu, xv, ru, rv, zu, zv, zu, zv, rz0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[1], out[2]
+
+
 def solve_flow_system(
     sys: FlowSystem,
     solver: str = "pcg",
@@ -164,15 +235,28 @@ def solve_flow_system(
         )
         return cg_solve_pallas(sys, rt, mi, interpret=jax.default_backend() != "tpu")
 
-    b = system_rhs(sys)
-    diag = system_diag(sys)
-    apply_A = lambda x: system_apply(sys, x)
-    if solver == "pcg":
-        return pcg_solve(apply_A, b, diag, pcg_rtol, pcg_maxiter, x0=x0, a12=sys.a12)
-    if solver == "backslash":
-        return pcg_solve(
-            apply_A, b, diag, backslash_rtol, backslash_maxiter, x0=x0, a12=sys.a12
+    if solver in ("pcg", "backslash"):
+        # channel-split XLA path (pcg_solve_split docstring has the layout
+        # argument); stack/unstack happens exactly once per solve
+        rt, mi = (
+            (pcg_rtol, pcg_maxiter)
+            if solver == "pcg"
+            else (backslash_rtol, backslash_maxiter)
         )
+        du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+        dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+        xu, xv = pcg_solve_split(
+            lambda xu, xv: system_apply_split(sys, xu, xv),
+            sys.b_u,
+            sys.b_v,
+            du,
+            dv,
+            rt,
+            mi,
+            a12=sys.a12,
+            x0=None if x0 is None else (x0[..., 0], x0[..., 1]),
+        )
+        return jnp.stack([xu, xv], axis=-1)
     if solver == "sor":
         from optical_flow_tpu.solvers.sor import sor_solve
 

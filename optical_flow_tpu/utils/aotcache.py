@@ -14,14 +14,14 @@ serialization/deserialization failure the call falls back to the normal
 jit path (one warning per process) — behavior is identical either way,
 only warmup time changes.
 
-Known backend limits (both handled by the graceful fallback):
+Known backend limits (handled by the graceful fallback):
 * XLA:CPU cannot serialize 64-bit comparison ops ("`LessThan` is not
   serializable") — x64 programs fall back.
-* If the same program already executed through plain jit in this process,
-  the backend's compilation cache returns its JIT-runtime executable,
-  which is not serializable either.  Enable the cache from process start
-  (its whole point is cold-start elimination) and the first call owns the
-  compile.
+* (obsolete as of r4, kept for history) an earlier jaxlib could not
+  serialize the executable returned by ``lower().compile()`` when the
+  same program had already executed through plain jit in-process; on the
+  current TPU stack this was re-measured and serialization succeeds
+  either way, so cached_call persists programs regardless of call order.
 """
 from __future__ import annotations
 

@@ -198,10 +198,13 @@ def test_batched_fused_matches_per_level(synthetic_pair, method):
     )
     assert uv_f.shape == uv_p.shape == (2, *images.shape[:2], 2)
     # batch elements of one vmapped program may differ at float-rounding
-    # level (XLA tiles batched contractions across the batch dim), and the
-    # two execution paths reassociate reductions — same bound as the
-    # single-pair fused-vs-unfused test
-    np.testing.assert_allclose(uv_f[0], uv_f[1], atol=1e-4)
+    # level (XLA tiles batched contractions across the batch dim), and CG
+    # amplifies that rounding up to its own tolerance scale (rtol 1e-3 —
+    # the solution is only defined to ~1e-3 relative): measured max 1.4e-3
+    # on 0.3% of pixels with the r4 channel-split CG reductions.  Same
+    # bound as the cross-path comparison below.
+    np.testing.assert_allclose(uv_f[0], uv_f[1], atol=5e-3)
+    assert np.abs(uv_f[0] - uv_f[1]).mean() < 1e-4
     np.testing.assert_allclose(uv_f, uv_p, atol=5e-3)
     assert np.abs(uv_f - uv_p).mean() < 1e-4
 
