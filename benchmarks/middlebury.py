@@ -75,6 +75,18 @@ def main():
     print(f"{'MEAN':<14} {avg_aae:7.3f} {avg_aepe:7.4f}")
     results["_mean"] = {"aae": round(avg_aae, 3), "aepe": round(avg_aepe, 4)}
     results["_method"] = args.method
+    # Canonical-run provenance.  NOTE the solver: this harness runs the
+    # preset DEFAULT ('backslash' -> tight-CG rtol 1e-7, matching the
+    # reference's default spsolve choice); the executed
+    # middlebury_benchmark.ipynb pins solver='pcg' (rtol 1e-3, what
+    # bench.py times) — that one-knob difference is the whole Urban3
+    # 3.063-vs-2.936 spread between artifacts (r4 reconciliation; both
+    # inside the oracle gates).  THIS file is the canonical accuracy table.
+    results["_provenance"] = {
+        "params": "preset defaults + display=False (solver='backslash' tight-CG)",
+        "notebook_delta": "middlebury_benchmark.ipynb uses solver='pcg'",
+        "deterministic": "re-runs reproduce AAE/AEPE to the rounded digits",
+    }
 
     gate_fail = check_ref_oracle_gates(results, args.method)
 

@@ -51,6 +51,7 @@ def main():
 
     sizes = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["1", "2", "4", "8"])]
     results = {}
+    f16_rows = {}
     # the serving shape: raw (uint8-exact) frames in -> flows out; the
     # rgb2gray/rgb2lab preprocessing is INSIDE the timed program
     for B in sizes:
@@ -75,6 +76,30 @@ def main():
         aae, _, aepe = flow_angular_error(tu, tv, uv[0, :, :, 0], uv[0, :, :, 1])
         results[B] = (B / best, float(aae), float(aepe))
 
+        if B >= 8:
+            # the large-batch dip is LINK traffic, not device compute (the r3
+            # root-cause: B f32 flow downloads saturate the ~30 MB/s axon
+            # tunnel).  out_dtype='float16' halves the download (quantizes
+            # flow at ~5e-4 px — far below the 0.08 px AEPE scale) and
+            # recovers the scaling curve; emitted as its own row so the
+            # recorded artifact carries the fix, not just prose.
+            p16 = {**params, "out_dtype": "float16"}
+            uv = np.asarray(
+                estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=p16)
+            )
+            best16 = float("inf")
+            for i in range(3):
+                t0 = time.time()
+                uv = np.asarray(
+                    estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=p16)
+                )
+                best16 = min(best16, time.time() - t0)
+                log(f"B={B}+f16 run {i}: {best16:.2f}s  ({B / best16:.3f} frames/s)")
+            aae, _, aepe = flow_angular_error(
+                tu, tv, uv[0, :, :, 0].astype(np.float64), uv[0, :, :, 1].astype(np.float64)
+            )
+            f16_rows[B] = (B / best16, float(aae), float(aepe))
+
     base_fps = results[sizes[0]][0] * sizes[0] if sizes[0] != 1 else results[1][0]
     for B in sizes:
         fps, aae, aepe = results[B]
@@ -86,6 +111,23 @@ def main():
                     "unit": "frames/s",
                     "vs_baseline": round(fps / (1.0 / 270.8), 2),
                     "batch": B,
+                    "dp_efficiency_vs_B1": round(fps / base_fps, 3),
+                    "aae_deg": round(aae, 3),
+                    "aepe_px": round(aepe, 4),
+                }
+            ),
+            flush=True,
+        )
+    for B, (fps, aae, aepe) in f16_rows.items():
+        print(
+            json.dumps(
+                {
+                    "metric": f"classic+nl-fast batched ({mode}) B={B}+f16-download frames/s per chip @584x388",
+                    "value": round(fps, 4),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / (1.0 / 270.8), 2),
+                    "batch": B,
+                    "out_dtype": "float16",
                     "dp_efficiency_vs_B1": round(fps / base_fps, 3),
                     "aae_deg": round(aae, 3),
                     "aepe_px": round(aepe, 4),

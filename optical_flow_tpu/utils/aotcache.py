@@ -40,6 +40,16 @@ def cache_dir():
     return os.environ.get("OFTPU_AOT_CACHE") or None
 
 
+_DEBUG = os.environ.get("OFTPU_AOT_CACHE_DEBUG", "") not in ("", "0")
+
+
+def _dbg(msg):
+    if _DEBUG:
+        import sys
+
+        print(f"[aotcache] {msg}", file=sys.stderr, flush=True)
+
+
 def _warn_once(msg):
     global _warned
     if not _warned:
@@ -114,21 +124,31 @@ def cached_call(jitfn, name: str, static_key, full_args, dyn):
     key = _key(name, static_key, dyn)
     comp = _loaded.get(key)
     if comp is None:
+        import time as _time
+
         path = os.path.join(d, key + ".jaxexe")
         if os.path.exists(path):
             try:
                 from jax.experimental import serialize_executable
 
+                t0 = _time.time()
                 with open(path, "rb") as f:
                     comp = serialize_executable.deserialize_and_load(*pickle.load(f))
+                _dbg(f"LOAD {name} {key} {_time.time() - t0:.1f}s")
             except Exception as e:  # stale jaxlib, foreign host, ...
                 _warn_once(f"load failed ({e!r}); recompiling")
+                _dbg(f"LOAD-FAIL {name} {key} {e!r}")
                 comp = None
+        else:
+            _dbg(f"MISS {name} {key}")
         if comp is None:
             try:
+                t0 = _time.time()
                 comp = jitfn.lower(*full_args).compile()
+                _dbg(f"COMPILE {name} {key} {_time.time() - t0:.1f}s")
             except Exception as e:
                 _warn_once(f"AOT compile failed ({e!r}); plain jit path")
+                _dbg(f"COMPILE-FAIL {name} {key} {e!r}")
                 return jitfn(*full_args)
             try:
                 from jax.experimental import serialize_executable
@@ -138,9 +158,13 @@ def cached_call(jitfn, name: str, static_key, full_args, dyn):
                 with open(tmp, "wb") as f:
                     pickle.dump(serialize_executable.serialize(comp), f)
                 os.replace(tmp, path)
+                _dbg(f"WRITE {name} {key}")
             except Exception as e:
                 # the executable itself is fine — use it for this process,
                 # only the on-disk dump failed (e.g. the x64 XLA:CPU case)
                 _warn_once(f"serialize failed ({e!r}); executable kept in-process")
+                _dbg(f"WRITE-FAIL {name} {key} {e!r}")
         _loaded[key] = comp
+    else:
+        _dbg(f"HIT-INPROC {name} {key}")
     return comp(*dyn)
