@@ -54,12 +54,17 @@ def _sync(out):
     return out
 
 
-def timed(fn, *args, reps=3):
+def timed(fn, *args, reps=3, name=None, static_key=None):
     """Jit `fn` with a scalar checksum folded into the program; warm once,
     then best-of-reps wall time, synced by fetching the 4-byte checksum.
 
     The checksum lives INSIDE the jitted program so the timed region contains
-    zero eager dispatches (each eager op over the tunnel costs ~0.4 s)."""
+    zero eager dispatches (each eager op over the tunnel costs ~0.4 s).
+
+    When ``name`` is given the warm-up call routes through the persistent
+    executable cache (utils/aotcache.py) so repeat profiling runs skip the
+    stage compiles; ``static_key`` must pin whatever configuration the
+    closure captures beyond the arg avals (solver, shape, ...)."""
     import jax
     import jax.numpy as jnp
 
@@ -69,12 +74,21 @@ def timed(fn, *args, reps=3):
         return out, jnp.ravel(leaves[-1])[0].astype(jnp.float32)
 
     cfn = jax.jit(with_checksum)
-    out, chk = cfn(*args)
+    if name is not None:
+        from optical_flow_tpu.utils.aotcache import cached_call
+
+        # reps route through cached_call too: after the warm-up populates
+        # the in-process table, each call is a dict lookup + comp(*args) —
+        # the plain-jit path would recompile what the cache already holds
+        call = lambda: cached_call(cfn, f"profile4k:{name}", static_key, args, args)
+    else:
+        call = lambda: cfn(*args)
+    out, chk = call()
     float(chk)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, chk = cfn(*args)
+        out, chk = call()
         float(chk)
         best = min(best, time.perf_counter() - t0)
     return best, out
@@ -142,6 +156,7 @@ def main():
         f"warp_iters={irls.max_iters} x gnc_stages={ope.gnc_iters}")
 
     stages = {}
+    sk = (H, W, args.solver)  # static config the stage closures capture
 
     # --- preprocessing: ROF structure-texture + both texture pyramids ----
     prep = jax.jit(
@@ -151,7 +166,7 @@ def main():
             (int(ope.gnc_pyramid_levels), float(ope.gnc_pyramid_spacing)),
         )
     )
-    dt, (pyr, gnc_pyr) = timed(prep, images, reps=args.reps)
+    dt, (pyr, gnc_pyr) = timed(prep, images, reps=args.reps, name="rof+pyramids", static_key=sk)
     stages["rof+pyramids"] = dt
     proc = pyr[0]
 
@@ -166,7 +181,7 @@ def main():
         p = precompute_warp(im, irls.interp, np.array(irls.deriv_filter), irls.blend)
         return (p.im1, p.I1x, p.I1y, p.warp_tables, p.hermite_tables)
 
-    dt, arrs = timed(jax.jit(pre_arrays), proc, reps=args.reps)
+    dt, arrs = timed(jax.jit(pre_arrays), proc, reps=args.reps, name="precompute", static_key=sk)
     stages["precompute_warp (spline prefilter)"] = dt
 
     # realistic sub-pixel flow so the gather hits the sweep path like a real run
@@ -177,18 +192,18 @@ def main():
         return warp_deriv(p, f)
 
     wd_fn = jax.jit(wd)
-    dt, (It, Ix, Iy) = timed(wd_fn, arrs, uv_live, reps=args.reps)
+    dt, (It, Ix, Iy) = timed(wd_fn, arrs, uv_live, reps=args.reps, name="warp_deriv", static_key=sk)
     stages["warp_deriv (bicubic warp gathers)"] = dt
 
     solve_fn = jax.jit(
         lambda uv, duv, It, Ix, Iy, a: _blended_solve(irls, uv, duv, It, Ix, Iy, a)
     )
     z = jnp.zeros_like(uv)
-    dt, duv = timed(solve_fn, uv_live, z, It, Ix, Iy, jnp.float32(0.5), reps=args.reps)
+    dt, duv = timed(solve_fn, uv_live, z, It, Ix, Iy, jnp.float32(0.5), reps=args.reps, name="solve", static_key=sk)
     stages["irls system + PCG solve"] = dt
 
     occ_fn = jax.jit(lambda f, im: detect_occlusion(f, im))
-    dt, occ = timed(occ_fn, uv_live, proc, reps=args.reps)
+    dt, occ = timed(occ_fn, uv_live, proc, reps=args.reps, name="occlusion", static_key=sk)
     stages["occlusion"] = dt
 
     wm_fn = jax.jit(
@@ -197,7 +212,7 @@ def main():
             cfg.full_version,
         )
     )
-    dt, _ = timed(wm_fn, uv_live, occ, reps=args.reps)
+    dt, _ = timed(wm_fn, uv_live, occ, reps=args.reps, name="wmedian", static_key=sk)
     stages["weighted median"] = dt
 
     per_iter = (
@@ -224,7 +239,7 @@ def main():
         # plus the final resample up to full res that precedes the finest level
         return resample_flow(f, pyr_arrays[0].shape[:2])
 
-    dt, uv_tail = timed(stage1_tail, tuple(pyr), jnp.float32(1.0), reps=args.reps)
+    dt, uv_tail = timed(stage1_tail, tuple(pyr), jnp.float32(1.0), reps=args.reps, name="stage1_tail", static_key=sk)
     stages["stage1 coarse tail (levels 1..%d + resamples)" % (levels - 1)] = dt
 
     def stage2_coarse(gp, f, alpha):
@@ -232,7 +247,7 @@ def main():
         f = classic_nl_level_step(cfg, gp[1], dummy, f, alpha)
         return resample_flow(f, gp[0].shape[:2])
 
-    dt, _ = timed(stage2_coarse, tuple(gnc_pyr), uv_tail, jnp.float32(0.0), reps=args.reps)
+    dt, _ = timed(stage2_coarse, tuple(gnc_pyr), uv_tail, jnp.float32(0.0), reps=args.reps, name="stage2_coarse", static_key=sk)
     stages["stage2 coarse level (%dx%d + resamples)" % gnc_pyr[1].shape[:2]] = dt
 
     results_stage2 = None
@@ -249,22 +264,23 @@ def main():
         proc2 = gnc_pyr[1]
         area = (H2 * W2) / (H * W)
         s2 = {}
-        dt, arrs2 = timed(jax.jit(pre_arrays), proc2, reps=args.reps)
+        dt, arrs2 = timed(jax.jit(pre_arrays), proc2, reps=args.reps, name="s2_precompute", static_key=sk)
         s2["precompute_warp"] = dt
         uv2 = resample_flow(uv_tail, (H2, W2))
         uv2_live = uv2 + 0.3 * jnp.sin(
             jnp.arange(H2 * W2 * 2, dtype=jnp.float32).reshape(H2, W2, 2)
         )
-        dt, (It2, Ix2, Iy2) = timed(wd_fn, arrs2, uv2_live, reps=args.reps)
+        dt, (It2, Ix2, Iy2) = timed(wd_fn, arrs2, uv2_live, reps=args.reps, name="s2_warp_deriv", static_key=sk)
         s2["warp_deriv"] = dt
         z2 = jnp.zeros_like(uv2)
         dt, _ = timed(
-            solve_fn, uv2_live, z2, It2, Ix2, Iy2, jnp.float32(0.0), reps=args.reps
+            solve_fn, uv2_live, z2, It2, Ix2, Iy2, jnp.float32(0.0), reps=args.reps,
+            name="s2_solve", static_key=sk,
         )
         s2["irls+solve"] = dt
-        dt, occ2 = timed(occ_fn, uv2_live, proc2, reps=args.reps)
+        dt, occ2 = timed(occ_fn, uv2_live, proc2, reps=args.reps, name="s2_occlusion", static_key=sk)
         s2["occlusion"] = dt
-        dt, _ = timed(wm_fn, uv2_live, occ2, reps=args.reps)
+        dt, _ = timed(wm_fn, uv2_live, occ2, reps=args.reps, name="s2_wmedian", static_key=sk)
         s2["weighted median"] = dt
 
         from optical_flow_tpu.ops.pallas.cg_kernel import cg_pallas_ok

@@ -92,7 +92,8 @@ def _key(name: str, static_key, args) -> str:
             name,
             repr(static_key),
         ]
-        + [f"{a.shape}:{a.dtype}" for a in args]
+        # tree_leaves: args may be pytrees (tuples of pyramid levels, ...)
+        + [f"{a.shape}:{a.dtype}" for a in jax.tree_util.tree_leaves(args)]
     )
     return hashlib.sha256(ident.encode()).hexdigest()[:32]
 

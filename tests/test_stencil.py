@@ -164,3 +164,48 @@ def test_sor_config_threaded_through_solver_cfg(rng):
     err_many = np.abs(many - x_exact).max()
     assert err_many < 1e-5
     assert err_few > 10 * err_many
+
+
+def test_pcg_split_matches_stacked(rng):
+    """The r4 channel-split CG state (two (H, W) planes) is the same solver
+    as the stacked formulation: identical fixed point, preconditioner, and
+    stopping rule — only dot-product reduction order differs, so agreement
+    is to float-reduction precision, and both match the dense solve."""
+    from optical_flow_tpu.ops.stencil import (
+        system_apply,
+        system_apply_split,
+        system_diag,
+        system_rhs,
+        weighted_laplacian_diag,
+    )
+    from optical_flow_tpu.solvers.cg import pcg_solve, pcg_solve_split
+
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+
+    x_stacked = np.asarray(
+        pcg_solve(
+            lambda x: system_apply(sys, x),
+            system_rhs(sys),
+            system_diag(sys),
+            1e-10,
+            4000,
+            a12=sys.a12,
+        )
+    )
+    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    xu, xv = pcg_solve_split(
+        lambda xu, xv: system_apply_split(sys, xu, xv),
+        sys.b_u,
+        sys.b_v,
+        du,
+        dv,
+        1e-10,
+        4000,
+        a12=sys.a12,
+    )
+    x_split = np.stack([np.asarray(xu), np.asarray(xv)], axis=-1)
+    np.testing.assert_allclose(x_split, x_stacked, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(x_split, dense_solve(sys), rtol=1e-6, atol=1e-8)
