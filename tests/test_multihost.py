@@ -30,6 +30,12 @@ def test_multihost_two_process_dryrun(tmp_path):
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["ok"] is True
     assert res["global_devices"] == 8 and res["processes"] == 2
-    assert res["dp_max_abs_diff_vs_unsharded"] == 0.0
+    # The r3 exact-0.0 DP equality was a lowering coincidence, not a
+    # guarantee: the vmapped+sharded and per-element programs reassociate
+    # float reductions, and convergent CG makes the result path-independent
+    # only to ~solver precision (multihost.py now uses SMOOTH frames so the
+    # solves actually converge — on noise they truncate at maxiter and the
+    # paths diverge by ~0.4 px; see the comment there).  Measured 2.5e-5.
+    assert res["dp_max_abs_diff_vs_unsharded"] < 1e-4
     assert res["sp_max_abs_diff_vs_unsharded"] < 1e-4
     assert abs(res["dp_mean_u_interior"] - 1.0) < 0.05
