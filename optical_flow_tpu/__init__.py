@@ -26,9 +26,11 @@ from optical_flow_tpu.viz.flow_color import flow_to_color, make_colorwheel, comp
 from optical_flow_tpu.viz.plot_flow import plot_flow
 from optical_flow_tpu.evaluation.metrics import flow_angular_error
 from optical_flow_tpu.config import load_of_method
+from optical_flow_tpu.parallel.pipeline import estimate_flow_pipelined
 from optical_flow_tpu.parallel.video import estimate_flow_stream, estimate_flow_video
 
 __all__ = [
+    "estimate_flow_pipelined",
     "estimate_flow",
     "read_flo",
     "write_flo",
