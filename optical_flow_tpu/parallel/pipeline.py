@@ -420,12 +420,21 @@ def estimate_flow_pipelined(
         H, W = int(images.shape[0]), int(images.shape[1])
 
         if schedule is None:
+            sched_hw = (H, W)
             schedule = build_pipeline_schedule(ope, (H, W), use_color=color is not None)
             costs = [s.cost for s in schedule.steps]
             groups = _partition(costs, n_stages or len(devices))
             group_devices = [devices[g % len(devices)] for g in range(len(groups))]
             if depth is None:
                 depth = len(groups) + 1
+        elif (H, W) != sched_hw:
+            # the level schedule (auto level count, per-level shapes, jitted
+            # executables) is built from the first frame's shape — fail
+            # loudly rather than silently recompiling a wrong schedule
+            raise ValueError(
+                f"estimate_flow_pipelined requires a consistent frame shape: "
+                f"got {(H, W)} after building the schedule for {sched_hw}"
+            )
 
         # stage 0's device owns preprocessing + pyramid builds
         images = jax.device_put(images, group_devices[0])
