@@ -111,3 +111,29 @@ np.save(sys.argv[1], uv)
     warm = np.load(tmp_path / "warm.npy")
     np.testing.assert_array_equal(warm, cold)
     assert cold.shape == (40, 44, 2) and np.isfinite(cold).all()
+
+
+def test_ref_oracle_artifact_consistency():
+    """The measured reference-oracle artifact (benchmarks/ref_oracle.py)
+    must stay parseable and keep reproducing the independently-measured r2
+    RubberWhale baseline (.ref_baseline_timing.txt: 2.46298/0.08025) — the
+    sanity anchor that validates the whole 8-sequence oracle harness."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "results_ref_oracle.json",
+    )
+    with open(path) as f:
+        oracle = json.load(f)
+    rw = oracle["RubberWhale"]
+    assert abs(rw["aae"] - 2.46298) < 1e-4
+    assert abs(rw["aepe"] - 0.08025) < 1e-5
+    seqs = {
+        "RubberWhale", "Hydrangea", "Grove2", "Grove3",
+        "Urban2", "Urban3", "Dimetrodon", "Venus",
+    }
+    assert seqs <= set(oracle)
+    assert oracle["_provenance"]["method"] == "classic+nl-fast"
