@@ -137,3 +137,25 @@ def test_ref_oracle_artifact_consistency():
     }
     assert seqs <= set(oracle)
     assert oracle["_provenance"]["method"] == "classic+nl-fast"
+
+
+def test_ref_oracle_methods_artifact_consistency():
+    """Per-method oracle artifact (hs / classic++ measured on all 8 GT
+    sequences by running the reference) stays parseable and complete."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "results_ref_oracle_methods.json",
+    )
+    with open(path) as f:
+        oracle = json.load(f)
+    seqs = {
+        "RubberWhale", "Hydrangea", "Grove2", "Grove3",
+        "Urban2", "Urban3", "Dimetrodon", "Venus",
+    }
+    for method in ("hs", "classic++"):
+        assert seqs <= set(oracle[method])
+        assert oracle[method]["_mean"]["aae"] > 0
