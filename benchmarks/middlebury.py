@@ -98,35 +98,50 @@ def main():
 
 
 # Per-sequence accuracy-parity gates vs the measured reference oracle
-# (benchmarks/results_ref_oracle.json, produced by benchmarks/ref_oracle.py
-# running /root/reference itself on every GT sequence).  Absorbs solver drift
-# (reference 'backslash' spsolve vs this repo's matrix-free PCG) — the
-# reference's own NumPy-vs-MATLAB delta is 0.06 deg AAE on RubberWhale, so
-# the gates are set just above the largest measured repo delta (Urban3:
-# +0.090 deg / +0.0066 px) and well below anything that would indicate an
-# algorithmic divergence.
-AAE_GATE_DEG = 0.2
-AEPE_GATE_PX = 0.01
+# (produced by benchmarks/ref_oracle.py running /root/reference itself on
+# every GT sequence; flagship artifact results_ref_oracle.json, other
+# families results_ref_oracle_methods.json).  Gates absorb solver drift
+# (reference 'backslash' spsolve vs this repo's matrix-free CG) — the
+# reference's own NumPy-vs-MATLAB delta is 0.06 deg AAE on RubberWhale —
+# and sit just above each method's largest measured repo delta:
+#   classic+nl-fast: Urban3 +0.090 deg / +0.0066 px
+#   classic++:       Grove3 -0.046 deg / Urban3 -0.0122 px (TPU better)
+#   classic+nl:      same order as classic++
+#   hs:              Urban2 +0.033 deg / +0.034 px — quadratic HS on 22-px
+#                    motion is fixed-point-sensitive (8x tighter CG moves
+#                    AEPE by 1e-4; see docs/PARITY.md), hence the looser
+#                    AEPE gate for hs only.
+GATES = {
+    "classic+nl-fast": (0.2, 0.01),
+    "classic+nl": (0.2, 0.02),
+    "classic++": (0.2, 0.02),
+    "hs": (0.2, 0.05),
+}
 
 
 def check_ref_oracle_gates(results, method):
-    oracle_path = os.path.join(REPO, "benchmarks", "results_ref_oracle.json")
-    if not os.path.exists(oracle_path):
+    oracle = None
+    flagship = os.path.join(REPO, "benchmarks", "results_ref_oracle.json")
+    methods = os.path.join(REPO, "benchmarks", "results_ref_oracle_methods.json")
+    if method == "classic+nl-fast" and os.path.exists(flagship):
+        with open(flagship) as f:
+            oracle = json.load(f)
+    elif os.path.exists(methods):
+        with open(methods) as f:
+            oracle = json.load(f).get(method)
+    if oracle is None or method not in GATES:
         return False
-    with open(oracle_path) as f:
-        oracle = json.load(f)
-    if method != oracle.get("_provenance", {}).get("method", "classic+nl-fast"):
-        return False
+    aae_gate, aepe_gate = GATES[method]
     fail = False
-    print(f"\nvs reference oracle (gates: |dAAE| <= {AAE_GATE_DEG} deg,"
-          f" |dAEPE| <= {AEPE_GATE_PX} px)")
+    print(f"\nvs reference oracle (gates for {method}: |dAAE| <= {aae_gate} deg,"
+          f" |dAEPE| <= {aepe_gate} px)")
     print(f"{'sequence':<14} {'dAAE':>8} {'dAEPE':>8}")
     for seq, r in results.items():
         if seq.startswith("_") or seq not in oracle:
             continue
         d_aae = r["aae"] - oracle[seq]["aae"]
         d_aepe = r["aepe"] - oracle[seq]["aepe"]
-        bad = abs(d_aae) > AAE_GATE_DEG or abs(d_aepe) > AEPE_GATE_PX
+        bad = abs(d_aae) > aae_gate or abs(d_aepe) > aepe_gate
         fail |= bad
         print(f"{seq:<14} {d_aae:+8.3f} {d_aepe:+8.4f}{'  GATE FAIL' if bad else ''}")
     return fail
