@@ -115,6 +115,7 @@ GATES = {
     "classic+nl-fast": (0.2, 0.01),
     "classic+nl": (0.2, 0.02),
     "classic++": (0.2, 0.02),
+    "ba": (0.2, 0.02),
     "hs": (0.2, 0.05),
 }
 
