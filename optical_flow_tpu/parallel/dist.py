@@ -26,7 +26,7 @@ from optical_flow_tpu.ops.stencil import (
 )
 from optical_flow_tpu.parallel.halo import halo_exchange_rows
 from optical_flow_tpu.parallel.mesh import SPACE_AXIS
-from optical_flow_tpu.solvers.cg import pcg_solve
+from optical_flow_tpu.solvers.cg import pcg_solve, pcg_solve_gear
 
 
 def _zero_row_pad(x):
@@ -72,6 +72,7 @@ def solve_flow_system_local(
     maxiter: int = 200,
     x0=None,
     sync_axes=(),
+    algo: str | None = None,
 ):
     """PCG on a row-sharded FlowSystem; call inside ``shard_map``.
 
@@ -80,12 +81,38 @@ def solve_flow_system_local(
     control flow in the while_loop).  ``sync_axes`` forces a uniform trip
     count across additional mesh axes running independent solves (see
     :func:`~optical_flow_tpu.solvers.cg.pcg_solve`).
+
+    ``algo='gear'`` uses the Chronopoulos–Gear recurrence so the three
+    per-iteration scalars reduce in ONE stacked ``psum`` instead of
+    classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖² —
+    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``); on a
+    real ICI mesh the latency-bound coarse levels follow the collective
+    count.  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
+    same-recurrence-everywhere keeps sharded-vs-single-device parity at
+    the 1e-8 the test suite pins).
     """
+    if algo is None:
+        from optical_flow_tpu.solvers.cg import CG_ALGO
+
+        algo = CG_ALGO
     b = jnp.stack([sys.b_u, sys.b_v], axis=-1)
     diag = sharded_system_diag_local(sys, axis_name)
     apply_A = lambda x: sharded_system_apply_local(sys, x, axis_name)
-    dot = lambda a, c: lax.psum(jnp.sum(a * c), axis_name)
     # a12 is per-pixel local: the block-Jacobi preconditioner shards freely
+    if algo == "gear":
+
+        def dots3(r, u, w):
+            partial_sums = jnp.stack(
+                [jnp.sum(r * u), jnp.sum(w * u), jnp.sum(r * r)]
+            )
+            s = lax.psum(partial_sums, axis_name)  # one collective, 3 scalars
+            return s[0], s[1], s[2]
+
+        return pcg_solve_gear(
+            apply_A, b, diag, rtol, maxiter,
+            x0=x0, dots3=dots3, sync_axes=sync_axes, a12=sys.a12,
+        )
+    dot = lambda a, c: lax.psum(jnp.sum(a * c), axis_name)
     return pcg_solve(
         apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot, sync_axes=sync_axes, a12=sys.a12
     )
@@ -97,12 +124,19 @@ def solve_flow_system_sharded(
     rtol: float = 1e-3,
     maxiter: int = 200,
     axis_name: str = SPACE_AXIS,
+    algo: str | None = None,
 ):
     """Host-callable distributed solve: rows of every field sharded."""
     spec2 = P(axis_name)
     spec3 = P(axis_name)
     fn = shard_map(
-        partial(solve_flow_system_local, axis_name=axis_name, rtol=rtol, maxiter=maxiter),
+        partial(
+            solve_flow_system_local,
+            axis_name=axis_name,
+            rtol=rtol,
+            maxiter=maxiter,
+            algo=algo,
+        ),
         mesh=mesh,
         in_specs=(FlowSystem(*([spec2] * 9)),),
         out_specs=spec3,

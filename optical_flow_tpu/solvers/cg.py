@@ -37,6 +37,16 @@ from optical_flow_tpu.ops.stencil import (
 # (~0.01-0.07 ms/solve; whole-frame 0.286 -> 0.247 s, same AAE/AEPE).
 CG_IMPL = os.environ.get("OFTPU_CG_IMPL", "auto")
 
+# 'classic' | 'gear' — iteration recurrence for the XLA CG paths.  'gear'
+# (Chronopoulos–Gear PCG) makes the three per-iteration scalar reductions
+# (r·u, w·u, ‖r‖²) mutually independent; on a device mesh they then ride
+# ONE stacked psum instead of classic PCG's three collective rounds
+# (parallel/dist.py).  Single-chip it is a measured REJECTION — the two
+# extra carried plane pairs cost more than the saved reduce pass at every
+# XLA-path size (2.14→2.56 ms/iter at 4K; DESIGN §4a) — so the default
+# stays 'classic'; flip to 'gear' on latency-bound multi-chip meshes.
+CG_ALGO = os.environ.get("OFTPU_CG_ALGO", "classic")
+
 
 def _use_cg_kernel(sys: FlowSystem) -> bool:
     if CG_IMPL == "xla":
@@ -134,6 +144,93 @@ def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=(), 
     return x
 
 
+def pcg_solve_gear(
+    apply_A, b, diag, rtol, maxiter, x0=None, dots3=None, sync_axes=(), a12=None
+):
+    """Chronopoulos–Gear PCG with a SINGLE combined reduction per iteration.
+
+    Same fixed point, preconditioner, and stopping rule as
+    :func:`pcg_solve` (see :func:`pcg_solve_split_gear` for the recurrence
+    derivation); the point here is the *distributed* path: classic PCG
+    needs three ``psum`` rounds per iteration (p·Ap, then r·z after the
+    α-update, plus the stopping-rule ‖r‖² — the first is separated from
+    the others by a true data dependency), while the Gear recurrence makes
+    all three scalars functions of (r, u=M⁻¹r, w=Au) available at one
+    program point, so ``dots3`` can reduce them in ONE stacked collective.
+    On an ICI mesh that cuts the per-iteration collective count 3×; at the
+    coarse pyramid levels where per-shard work is tiny, CG is
+    latency-bound and iteration time follows the collective count.
+
+    ``dots3(r, u, w) -> (r·u, w·u, r·r)`` is injectable so the sharded
+    caller (``parallel/dist.py``) can fold the mesh ``psum`` over a
+    stacked 3-vector; the default reduces locally.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    dinv = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+    if a12 is not None:
+        du, dv = diag[..., 0], diag[..., 1]
+        det = du * dv - a12 * a12
+        ok = jnp.abs(det) > 1e-12
+        safe = jnp.where(ok, det, 1.0)
+        i00 = jnp.where(ok, dv / safe, dinv[..., 0])
+        i01 = jnp.where(ok, -a12 / safe, 0.0)
+        i11 = jnp.where(ok, du / safe, dinv[..., 1])
+
+        def precond(r):
+            return jnp.stack(
+                [
+                    i00 * r[..., 0] + i01 * r[..., 1],
+                    i01 * r[..., 0] + i11 * r[..., 1],
+                ],
+                axis=-1,
+            )
+
+    else:
+        precond = lambda r: dinv * r
+
+    if dots3 is None:
+
+        def dots3(r, u, w):
+            return _dot(r, u), _dot(w, u), _dot(r, r)
+
+    r0 = b - apply_A(x0)
+    u0 = precond(r0)
+    w0 = apply_A(u0)
+    gamma0, delta0, rr0 = dots3(r0, u0, w0)
+    # the [2] slot of dots3 is r·r; the other two duplicate b·b and CSE away
+    tol2 = (rtol**2) * dots3(b, b, b)[2]
+    alpha0 = jnp.where(delta0 != 0.0, gamma0 / delta0, 0.0)
+    beta0 = jnp.zeros_like(gamma0)
+    z = jnp.zeros_like(b)
+
+    def cond(state):
+        k = state[0]
+        rr = state[-1]
+        unconverged = (rr > tol2).astype(jnp.int32)
+        for axn in sync_axes:
+            unconverged = jax.lax.pmax(unconverged, axn)
+        return jnp.logical_and(k < maxiter, unconverged > 0)
+
+    def body(state):
+        k, x, r, u, w, p, s, gamma, alpha, beta, _rr = state
+        p = u + beta * p
+        s = w + beta * s
+        x = x + alpha * p
+        r = r - alpha * s
+        u = precond(r)
+        w = apply_A(u)
+        gamma_new, delta, rr = dots3(r, u, w)
+        beta_new = jnp.where(gamma != 0.0, gamma_new / gamma, 0.0)
+        denom = delta - beta_new * jnp.where(alpha != 0.0, gamma_new / alpha, 0.0)
+        alpha_new = jnp.where(denom != 0.0, gamma_new / denom, 0.0)
+        return (k + 1, x, r, u, w, p, s, gamma_new, alpha_new, beta_new, rr)
+
+    state = (jnp.asarray(0), x0, r0, u0, w0, z, z, gamma0, alpha0, beta0, rr0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[1]
+
+
 def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
     """Block-Jacobi PCG with CHANNEL-SPLIT state: two (H, W) planes.
 
@@ -206,6 +303,131 @@ def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
     return out[1], out[2]
 
 
+def pcg_solve_split_gear(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
+    """Chronopoulos–Gear PCG, channel-split: ONE fused reduce pass/iteration.
+
+    Classic PCG has a true data dependency between its two per-iteration
+    reductions (p·Ap feeds alpha which feeds the r update which feeds r·z),
+    so XLA must emit two reduce passes over HBM-resident planes; at 4K the
+    device trace attributes 254 ms/frame to exactly these (DESIGN §4a).
+    The Chronopoulos–Gear recurrence [C&G 1989, "s-step iterative methods"]
+    computes alpha and beta from gamma = (r, u) and delta = (w, u) where
+    u = M^-1 r and w = A u are both available BEFORE any scalar is needed:
+
+        beta_k  = gamma_k / gamma_{k-1}
+        alpha_k = gamma_k / (delta_k - beta_k * gamma_k / alpha_{k-1})
+
+    (the identity (p, Ap) = delta - beta * gamma / alpha_prev follows from
+    p = u + beta p_prev and the M-orthogonality of residuals).  gamma,
+    delta, and the stopping-rule ||r||^2 are then mutually independent
+    sibling reductions over (r, u, w).  Cost: two extra carried plane
+    pairs (w, s = A p) and one extra axpy pair per iteration.
+
+    SINGLE-CHIP MEASURED REJECTION (kept for the mesh path + the study).
+    v5e A/B on smooth 4K systems, per-iteration (maxiter-100 minus
+    maxiter-20, checksum-synced over the tunnel; /tmp pattern in
+    CLAUDE.md):
+
+    ========== ======= ===== ==============
+    size       classic gear  gear2 (note)
+    ========== ======= ===== ==============
+    2160x3840  2.14 ms 2.56  2.68
+    1080x1920  247 us  254   282
+    540x960    49 us   56    (noise floor)
+    ========== ======= ===== ==============
+
+    XLA does NOT horizontally fuse the three reduces (the +0.41 ms at 4K
+    matches 3 reduce passes + 2 extra carried streams, vs classic's 2
+    passes); gear2 — forcing one pass by stacking the three summands into
+    a (3, H, W) reduce — materializes the stack and loses more.  The
+    recurrence only pays where a reduce costs a COLLECTIVE round:
+    :func:`pcg_solve_gear` + ``parallel/dist.py`` (3 psums -> 1 per
+    iteration, HLO-verified).  Solutions are identical to classic within
+    recurrence rounding (max |dx| 4.8e-7 on the 4K A/B at rtol 1e-3 AND
+    at tight 1e-7; ``test_stencil.py::test_pcg_gear_matches_classic``).
+
+    Same fixed point, preconditioner, and stopping rule
+    (||r|| <= rtol ||b||, checked every iteration) as
+    :func:`pcg_solve_split`; in exact arithmetic the iterates are
+    identical — only floating-point accumulation of the recurrence
+    differs, bounded by the CG tolerance like every other solver-path
+    variation (reference semantics: ``base.py:116-136``).
+    """
+    if x0 is None:
+        xu = jnp.zeros_like(bu)
+        xv = jnp.zeros_like(bv)
+    else:
+        xu, xv = x0
+    dinv_u = jnp.where(jnp.abs(du) > 1e-12, 1.0 / du, 0.0)
+    dinv_v = jnp.where(jnp.abs(dv) > 1e-12, 1.0 / dv, 0.0)
+    if a12 is not None:
+        det = du * dv - a12 * a12
+        ok = jnp.abs(det) > 1e-12
+        safe = jnp.where(ok, det, 1.0)
+        i00 = jnp.where(ok, dv / safe, dinv_u)
+        i01 = jnp.where(ok, -a12 / safe, 0.0)
+        i11 = jnp.where(ok, du / safe, dinv_v)
+
+        def precond(ru, rv):
+            return i00 * ru + i01 * rv, i01 * ru + i11 * rv
+
+    else:
+
+        def precond(ru, rv):
+            return dinv_u * ru, dinv_v * rv
+
+    def dot2(au, av, bu_, bv_):
+        return jnp.sum(au * bu_) + jnp.sum(av * bv_)
+
+    Axu, Axv = apply_A(xu, xv)
+    ru, rv = bu - Axu, bv - Axv
+    uu, uv = precond(ru, rv)
+    wu, wv = apply_A(uu, uv)
+    gamma0 = dot2(ru, rv, uu, uv)
+    delta0 = dot2(wu, wv, uu, uv)
+    rr0 = dot2(ru, rv, ru, rv)
+    tol2 = (rtol**2) * dot2(bu, bv, bu, bv)
+    alpha0 = jnp.where(delta0 != 0.0, gamma0 / delta0, 0.0)
+    beta0 = jnp.zeros_like(gamma0)
+    zu = jnp.zeros_like(bu)
+    zv = jnp.zeros_like(bv)
+
+    def cond(state):
+        k = state[0]
+        rr = state[-1]
+        return jnp.logical_and(k < maxiter, rr > tol2)
+
+    def body(state):
+        (k, xu, xv, ru, rv, uu, uv, wu, wv, pu, pv, su, sv,
+         gamma, alpha, beta, _rr) = state
+        pu = uu + beta * pu
+        pv = uv + beta * pv
+        su = wu + beta * su
+        sv = wv + beta * sv
+        xu = xu + alpha * pu
+        xv = xv + alpha * pv
+        ru = ru - alpha * su
+        rv = rv - alpha * sv
+        uu, uv = precond(ru, rv)
+        wu, wv = apply_A(uu, uv)
+        # the three reductions below are mutually independent — one fused pass
+        gamma_new = dot2(ru, rv, uu, uv)
+        delta = dot2(wu, wv, uu, uv)
+        rr = dot2(ru, rv, ru, rv)
+        beta_new = jnp.where(gamma != 0.0, gamma_new / gamma, 0.0)
+        denom = delta - beta_new * jnp.where(
+            alpha != 0.0, gamma_new / alpha, 0.0
+        )
+        alpha_new = jnp.where(denom != 0.0, gamma_new / denom, 0.0)
+        return (k + 1, xu, xv, ru, rv, uu, uv, wu, wv, pu, pv, su, sv,
+                gamma_new, alpha_new, beta_new, rr)
+
+    state = (jnp.asarray(0), xu, xv, ru, rv, uu, uv, wu, wv, zu, zv, zu, zv,
+             gamma0, alpha0, beta0, rr0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[1], out[2]
+
+
 def solve_flow_system(
     sys: FlowSystem,
     solver: str = "pcg",
@@ -245,7 +467,8 @@ def solve_flow_system(
         )
         du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
         dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
-        xu, xv = pcg_solve_split(
+        split_impl = pcg_solve_split_gear if CG_ALGO == "gear" else pcg_solve_split
+        xu, xv = split_impl(
             lambda xu, xv: system_apply_split(sys, xu, xv),
             sys.b_u,
             sys.b_v,

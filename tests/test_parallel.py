@@ -78,6 +78,42 @@ def test_distributed_cg_matches_dense(rng):
 
 
 @needs_8
+def test_distributed_gear_cg_matches_dense_with_one_collective(rng):
+    """Gear PCG on the mesh: same solution as dense, and the loop body
+    carries ONE all-reduce where classic PCG needs three psum rounds
+    (p·Ap, r·z after the α-update, stopping ‖r‖²) — the collective-count
+    claim in ``dist.py::solve_flow_system_local`` checked on lowered HLO."""
+    import jax
+
+    from optical_flow_tpu.parallel.dist import solve_flow_system_sharded
+
+    sys = _system(rng, 32, 24)
+    x_exact = dense_solve(sys)
+    mesh = flow_mesh(batch=1, space=8)
+    x_gear = np.asarray(
+        solve_flow_system_sharded(sys, mesh, rtol=1e-12, maxiter=4000, algo="gear")
+    )
+    np.testing.assert_allclose(x_gear, x_exact, atol=1e-8)
+
+    def count_all_reduce(algo):
+        lowered = jax.jit(
+            lambda s: solve_flow_system_sharded(
+                s, mesh, rtol=1e-3, maxiter=200, algo=algo
+            )
+        ).lower(sys)
+        return lowered.as_text().count("all_reduce")
+
+    n_classic = count_all_reduce("classic")
+    n_gear = count_all_reduce("gear")
+    # classic: 2 setup (r·z, b·b) + 2 in-body + 1 in-cond; gear: 2 setup
+    # (stacked dots3, b·b) + 1 in-body.  Exact totals are a lowering
+    # detail — the invariant is the per-iteration (body+cond) count 3 -> 1,
+    # which the totals bound: gear must drop at least two all-reduces.
+    assert n_gear <= n_classic - 2, (n_classic, n_gear)
+    assert n_gear >= 1
+
+
+@needs_8
 def test_batched_estimation_hs():
     from optical_flow_tpu.parallel.batch import estimate_flow_batched
 

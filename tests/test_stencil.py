@@ -209,3 +209,41 @@ def test_pcg_split_matches_stacked(rng):
     x_split = np.stack([np.asarray(xu), np.asarray(xv)], axis=-1)
     np.testing.assert_allclose(x_split, x_stacked, rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(x_split, dense_solve(sys), rtol=1e-6, atol=1e-8)
+
+
+def test_pcg_gear_matches_classic(rng):
+    """The Chronopoulos–Gear recurrence (one fused reduce pass/iteration on
+    TPU) is the same solver as classic PCG: identical fixed point,
+    preconditioner, and stopping rule — in exact arithmetic the iterates
+    coincide, so agreement is to recurrence-rounding precision even at a
+    tight tolerance, and both match the dense solve."""
+    from optical_flow_tpu.ops.stencil import (
+        system_apply_split,
+        weighted_laplacian_diag,
+    )
+    from optical_flow_tpu.solvers.cg import pcg_solve_split, pcg_solve_split_gear
+
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+
+    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    ap = lambda xu, xv: system_apply_split(sys, xu, xv)
+    args = (ap, sys.b_u, sys.b_v, du, dv, 1e-10, 4000)
+    xu_c, xv_c = pcg_solve_split(*args, a12=sys.a12)
+    xu_g, xv_g = pcg_solve_split_gear(*args, a12=sys.a12)
+    x_classic = np.stack([np.asarray(xu_c), np.asarray(xv_c)], axis=-1)
+    x_gear = np.stack([np.asarray(xu_g), np.asarray(xv_g)], axis=-1)
+    np.testing.assert_allclose(x_gear, x_classic, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(x_gear, dense_solve(sys), rtol=1e-5, atol=1e-7)
+
+    # the diagonal-only preconditioner branch (a12=None) as well
+    xu_c, xv_c = pcg_solve_split(*args)
+    xu_g, xv_g = pcg_solve_split_gear(*args)
+    np.testing.assert_allclose(
+        np.asarray(xu_g), np.asarray(xu_c), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(xv_g), np.asarray(xv_c), rtol=1e-5, atol=1e-8
+    )
