@@ -169,9 +169,49 @@ def worker(pid: int, nproc: int, port: int) -> None:
     )
     res["sp_max_abs_diff_vs_unsharded"] = float(np.abs(out2_g - ref2).max())
 
+    # ------------------------------------------------------------------
+    # Distributed CG: classic (3 psum rounds/iter) vs gear (1 stacked psum)
+    # — over this 2-process mesh every collective crosses the process
+    # boundary, so the per-iteration collective count is measured WALL,
+    # not just the HLO all-reduce count test_parallel.py pins.
+    # ------------------------------------------------------------------
+    from optical_flow_tpu.ops.derivatives import partial_deriv
+    from optical_flow_tpu.ops.stencil import build_irls_system
+    from optical_flow_tpu.parallel.dist import solve_flow_system_sharded
+    from optical_flow_tpu.robust.robust_function import Robust
+
+    cg_im = np.stack([smooth(7, (H2, W2)), smooth(8, (H2, W2))], 2)
+    cg_uv = 0.2 * np.stack([smooth(9, (H2, W2), 1.0), smooth(10, (H2, W2), 1.0)], -1)
+    It, Ix, Iy = partial_deriv(cg_im, cg_uv, "cubic")
+    rho = Robust("charbonnier", (0.1,))
+    cg_sys = build_irls_system(
+        cg_uv, np.zeros_like(cg_uv), np.asarray(It), np.asarray(Ix),
+        np.asarray(Iy), (rho, rho), (rho, rho), rho, 2.5,
+    )
+    cg_sys = type(cg_sys)(*[make_global(sh_sp, np.asarray(f)) for f in cg_sys])
+    cg_out = {}
+    for algo in ("classic", "gear"):
+        fn = jax.jit(
+            lambda s, a=algo: solve_flow_system_sharded(
+                s, mesh_sp, rtol=1e-6, maxiter=400, algo=a
+            )
+        )
+        jax.block_until_ready(fn(cg_sys))
+        t0 = time.perf_counter()
+        x = jax.block_until_ready(fn(cg_sys))
+        res[f"cg_{algo}_steady_s"] = round(time.perf_counter() - t0, 4)
+        cg_out[algo] = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    res["cg_gear_vs_classic_max_diff"] = float(
+        np.abs(cg_out["gear"] - cg_out["classic"]).max()
+    )
+    res["cg_gear_speedup"] = round(
+        res["cg_classic_steady_s"] / max(res["cg_gear_steady_s"], 1e-9), 2
+    )
+
     res["ok"] = (
         res["dp_max_abs_diff_vs_unsharded"] < 1e-4
         and res["sp_max_abs_diff_vs_unsharded"] < 1e-4
+        and res["cg_gear_vs_classic_max_diff"] < 1e-4
     )
     if pid == 0:
         with open(WORKER_OUT, "w") as f:

@@ -85,9 +85,12 @@ def solve_flow_system_local(
     ``algo='gear'`` uses the Chronopoulos–Gear recurrence so the three
     per-iteration scalars reduce in ONE stacked ``psum`` instead of
     classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖² —
-    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``); on a
-    real ICI mesh the latency-bound coarse levels follow the collective
-    count.  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
+    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``).  The
+    option pays only where per-collective latency dominates the
+    iteration (real DCN RTT, large-mesh ICI): on compute-bound fabrics
+    it is a measured LOSS — 0.64× on the 2-process localhost-Gloo
+    dryrun (MULTIHOST.json), 2.14→2.56 ms/iter single-chip (DESIGN
+    §4a).  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
     same-recurrence-everywhere keeps sharded-vs-single-device parity at
     the 1e-8 the test suite pins).
     """

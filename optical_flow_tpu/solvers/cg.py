@@ -156,10 +156,12 @@ def pcg_solve_gear(
     α-update, plus the stopping-rule ‖r‖² — the first is separated from
     the others by a true data dependency), while the Gear recurrence makes
     all three scalars functions of (r, u=M⁻¹r, w=Au) available at one
-    program point, so ``dots3`` can reduce them in ONE stacked collective.
-    On an ICI mesh that cuts the per-iteration collective count 3×; at the
-    coarse pyramid levels where per-shard work is tiny, CG is
-    latency-bound and iteration time follows the collective count.
+    program point, so ``dots3`` can reduce them in ONE stacked collective
+    — a 3× cut in per-iteration collective count (HLO-pinned).  That only
+    pays where per-collective LATENCY dominates the iteration; on
+    compute-bound fabrics the recurrence's extra carried vectors make it
+    a measured loss (localhost-Gloo 0.64×, MULTIHOST.json; single-chip
+    DESIGN §4a), which is why 'classic' stays the default.
 
     ``dots3(r, u, w) -> (r·u, w·u, r·r)`` is injectable so the sharded
     caller (``parallel/dist.py``) can fold the mesh ``psum`` over a
