@@ -196,10 +196,17 @@ def worker(pid: int, nproc: int, port: int) -> None:
                 s, mesh_sp, rtol=1e-6, maxiter=400, algo=a
             )
         )
-        jax.block_until_ready(fn(cg_sys))
-        t0 = time.perf_counter()
         x = jax.block_until_ready(fn(cg_sys))
-        res[f"cg_{algo}_steady_s"] = round(time.perf_counter() - t0, 4)
+        # best-of-3: single-shot walls on this fabric swing >2x with
+        # machine load (a concurrent test suite measurably inverted the
+        # classic/gear ordering once) — the MIN is the contention-free
+        # estimate of each algorithm's cost
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = jax.block_until_ready(fn(cg_sys))
+            best = min(best, time.perf_counter() - t0)
+        res[f"cg_{algo}_steady_s"] = round(best, 4)
         cg_out[algo] = np.asarray(multihost_utils.process_allgather(x, tiled=True))
     res["cg_gear_vs_classic_max_diff"] = float(
         np.abs(cg_out["gear"] - cg_out["classic"]).max()

@@ -85,12 +85,12 @@ def solve_flow_system_local(
     ``algo='gear'`` uses the Chronopoulos–Gear recurrence so the three
     per-iteration scalars reduce in ONE stacked ``psum`` instead of
     classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖² —
-    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``).  The
-    option pays only where per-collective latency dominates the
-    iteration (real DCN RTT, large-mesh ICI): on compute-bound fabrics
-    it is a measured LOSS — 0.64× on the 2-process localhost-Gloo
-    dryrun (MULTIHOST.json), 2.14→2.56 ms/iter single-chip (DESIGN
-    §4a).  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
+    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``).
+    Measured 2.55× on the 2-process Gloo dryrun where every collective
+    round-trips the cross-process runtime (best-of-3, MULTIHOST.json;
+    solution diff vs classic 7e-7); single-chip, where reduces are
+    compute not latency, it is a measured loss (2.14→2.56 ms/iter,
+    DESIGN §4a).  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
     same-recurrence-everywhere keeps sharded-vs-single-device parity at
     the 1e-8 the test suite pins).
     """

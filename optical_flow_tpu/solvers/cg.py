@@ -41,7 +41,8 @@ CG_IMPL = os.environ.get("OFTPU_CG_IMPL", "auto")
 # (Chronopoulos–Gear PCG) makes the three per-iteration scalar reductions
 # (r·u, w·u, ‖r‖²) mutually independent; on a device mesh they then ride
 # ONE stacked psum instead of classic PCG's three collective rounds
-# (parallel/dist.py).  Single-chip it is a measured REJECTION — the two
+# (parallel/dist.py) — measured 2.55× on the 2-process Gloo dryrun
+# (MULTIHOST.json).  Single-chip it is a measured REJECTION — the two
 # extra carried plane pairs cost more than the saved reduce pass at every
 # XLA-path size (2.14→2.56 ms/iter at 4K; DESIGN §4a) — so the default
 # stays 'classic'; flip to 'gear' on latency-bound multi-chip meshes.
@@ -157,11 +158,11 @@ def pcg_solve_gear(
     the others by a true data dependency), while the Gear recurrence makes
     all three scalars functions of (r, u=M⁻¹r, w=Au) available at one
     program point, so ``dots3`` can reduce them in ONE stacked collective
-    — a 3× cut in per-iteration collective count (HLO-pinned).  That only
-    pays where per-collective LATENCY dominates the iteration; on
-    compute-bound fabrics the recurrence's extra carried vectors make it
-    a measured loss (localhost-Gloo 0.64×, MULTIHOST.json; single-chip
-    DESIGN §4a), which is why 'classic' stays the default.
+    — a 3× cut in per-iteration collective count (HLO-pinned).  Measured
+    2.55× on the 2-process Gloo dryrun (best-of-3, MULTIHOST.json) where
+    every psum round-trips the cross-process runtime; single-chip, where
+    reduces are compute not latency, the extra carried vectors make it a
+    measured loss (DESIGN §4a) — why 'classic' stays the default.
 
     ``dots3(r, u, w) -> (r·u, w·u, r·r)`` is injectable so the sharded
     caller (``parallel/dist.py``) can fold the mesh ``psum`` over a
