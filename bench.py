@@ -81,17 +81,38 @@ def main():
         if i >= 2 and sorted(times)[1] <= 1.2 * best:
             break
 
+    # Degraded-worker signature (CLAUDE.md / DESIGN section 8): run 0 of a
+    # process stretches multi-x while steady-state is normal.  Surface it so
+    # a reviewer can tell a sick worker from a real regression.
+    worker_suspect = times[0] > 2.0 * best
+    if worker_suspect:
+        log(f"worker_suspect: run0 {times[0]:.2f}s > 2x best {best:.2f}s")
+
     # Sustained throughput: dispatch is async, so enqueueing T frames before
     # draining results overlaps the host-link cost (h2d + dispatch + d2h,
     # ~110 ms/frame over this tunnel) with device compute — the production
     # serving shape for video (parallel/video.estimate_flow_stream).
+    # The stream wall is a single 15-frame window and thus exposed to the
+    # same degraded-worker pathology as run 0 (r4's driver capture recorded
+    # 3.13 f/s vs the 7.4 f/s measured in r2/r3 at UNCHANGED latency), so
+    # it gets the same defense as the latency metric: up to 3 trials,
+    # accept when the best two agree within 15%, report the best.
     T = 15
-    t0 = time.time()
-    outs = [estimate_flow(im1, im2, "classic+nl-fast", params) for _ in range(T)]
-    flows = [np.asarray(o) for o in outs]
-    stream_fps = T / (time.time() - t0)
-    log(f"streamed x{T}: {stream_fps:.2f} frames/s sustained")
-    uv = flows[-1]
+    stream_trials = []
+    uv = None
+    for trial in range(3):
+        t0 = time.time()
+        outs = [estimate_flow(im1, im2, "classic+nl-fast", params) for _ in range(T)]
+        flows = [np.asarray(o) for o in outs]
+        fps = T / (time.time() - t0)
+        stream_trials.append(fps)
+        log(f"stream trial {trial}: {fps:.2f} frames/s ({T} frames)")
+        uv = flows[-1]
+        top2 = sorted(stream_trials, reverse=True)[:2]
+        if len(top2) == 2 and top2[1] >= 0.85 * top2[0]:
+            break
+    stream_fps = max(stream_trials)
+    log(f"streamed x{T}: {stream_fps:.2f} frames/s sustained (best of {len(stream_trials)})")
 
     aae, _, aepe = flow_angular_error(tu, tv, uv[:, :, 0], uv[:, :, 1])
     latency_fps = 1.0 / best
@@ -112,6 +133,14 @@ def main():
                 "ref_seconds_per_frame": round(ref_seconds, 1),
                 "ref_aae_deg": REF_AAE,
                 "ref_aepe_px": REF_AEPE,
+                "worker_health": {
+                    "warmup_s": round(warm, 1),
+                    "aot_cache": cache_state,
+                    "run0_s": round(times[0], 3),
+                    "run0_over_best": round(times[0] / best, 2),
+                    "worker_suspect": worker_suspect,
+                    "stream_trials_fps": [round(f, 3) for f in stream_trials],
+                },
             }
         )
     )

@@ -24,9 +24,13 @@ from optical_flow_tpu.ops.stencil import (
     weighted_laplacian_apply,
     weighted_laplacian_diag,
 )
-from optical_flow_tpu.parallel.halo import halo_exchange_rows
+from optical_flow_tpu.parallel.halo import halo_exchange_rows, halo_exchange_rows_multi
 from optical_flow_tpu.parallel.mesh import SPACE_AXIS
-from optical_flow_tpu.solvers.cg import pcg_solve, pcg_solve_gear
+from optical_flow_tpu.solvers.cg import (
+    _check_algo,
+    pcg_solve_split,
+    pcg_solve_split_gear,
+)
 
 
 def _zero_row_pad(x):
@@ -48,23 +52,6 @@ def sharded_laplacian_diag_local(w_h, w_v, axis_name: str):
     return diag_e[1:-1]
 
 
-def sharded_system_apply_local(sys: FlowSystem, x, axis_name: str):
-    xu, xv = x[:, :, 0], x[:, :, 1]
-    yu = sys.a11 * xu + sys.a12 * xv + sharded_laplacian_apply_local(
-        sys.wu_h, sys.wu_v, xu, axis_name
-    )
-    yv = sys.a12 * xu + sys.a22 * xv + sharded_laplacian_apply_local(
-        sys.wv_h, sys.wv_v, xv, axis_name
-    )
-    return jnp.stack([yu, yv], axis=-1)
-
-
-def sharded_system_diag_local(sys: FlowSystem, axis_name: str):
-    du = sys.a11 + sharded_laplacian_diag_local(sys.wu_h, sys.wu_v, axis_name)
-    dv = sys.a22 + sharded_laplacian_diag_local(sys.wv_h, sys.wv_v, axis_name)
-    return jnp.stack([du, dv], axis=-1)
-
-
 def solve_flow_system_local(
     sys: FlowSystem,
     axis_name: str = SPACE_AXIS,
@@ -76,16 +63,25 @@ def solve_flow_system_local(
 ):
     """PCG on a row-sharded FlowSystem; call inside ``shard_map``.
 
-    Halo exchange rides ICI in every apply; dot products are
-    ``psum``-reduced so every shard sees identical scalars (identical
-    control flow in the while_loop).  ``sync_axes`` forces a uniform trip
-    count across additional mesh axes running independent solves (see
-    :func:`~optical_flow_tpu.solvers.cg.pcg_solve`).
+    CHANNEL-SPLIT, like the single-chip path: the CG state is (u, v) plane
+    pairs, not a trailing-dim-2 stack — the stacked layout tiles (W, 2)
+    minor on TPU, 2/128 lane occupancy for every elementwise op of the CG
+    body, measured 21%/iter slower at 4K (``solvers/cg.py::pcg_solve_split``).
+    The mesh path pays no extra collectives for the split:
+
+    * the loop-invariant vertical edge weights (wu_v, wv_v) are
+      halo-extended ONCE before the loop — the old stacked path re-exchanged
+      them inside every operator apply;
+    * per apply, the (xu, xv) boundary strips travel in ONE stacked
+      ``ppermute`` pair (:func:`~optical_flow_tpu.parallel.halo.halo_exchange_rows_multi`).
+
+    Net per-iteration collective count drops 8 ppermutes -> 2 vs the r4
+    stacked path, plus the psum rounds (3 classic / 1 gear, HLO-pinned in
+    ``test_parallel.py``).
 
     ``algo='gear'`` uses the Chronopoulos–Gear recurrence so the three
     per-iteration scalars reduce in ONE stacked ``psum`` instead of
-    classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖² —
-    HLO-verified 3→1 ``all-reduce`` count, ``test_parallel.py``).
+    classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖²).
     Measured 2.55× on the 2-process Gloo dryrun where every collective
     round-trips the cross-process runtime (best-of-3, MULTIHOST.json;
     solution diff vs classic 7e-7); single-chip, where reduces are
@@ -98,27 +94,52 @@ def solve_flow_system_local(
         from optical_flow_tpu.solvers.cg import CG_ALGO
 
         algo = CG_ALGO
-    b = jnp.stack([sys.b_u, sys.b_v], axis=-1)
-    diag = sharded_system_diag_local(sys, axis_name)
-    apply_A = lambda x: sharded_system_apply_local(sys, x, axis_name)
+    _check_algo(algo)
+    # loop-invariant weight halos: exchanged once, one stacked ppermute pair
+    wu_v_e, wv_v_e = halo_exchange_rows_multi([sys.wu_v, sys.wv_v], 1, axis_name)
+    wu_h_p = _zero_row_pad(sys.wu_h)
+    wv_h_p = _zero_row_pad(sys.wv_h)
+    du = sys.a11 + weighted_laplacian_diag(wu_h_p, wu_v_e)[1:-1]
+    dv = sys.a22 + weighted_laplacian_diag(wv_h_p, wv_v_e)[1:-1]
+
+    def apply_A(xu, xv):
+        xu_e, xv_e = halo_exchange_rows_multi([xu, xv], 1, axis_name)
+        yu = sys.a11 * xu + sys.a12 * xv + weighted_laplacian_apply(
+            wu_h_p, wu_v_e, xu_e
+        )[1:-1]
+        yv = sys.a12 * xu + sys.a22 * xv + weighted_laplacian_apply(
+            wv_h_p, wv_v_e, xv_e
+        )[1:-1]
+        return yu, yv
+
     # a12 is per-pixel local: the block-Jacobi preconditioner shards freely
+    x0_split = None if x0 is None else (x0[..., 0], x0[..., 1])
     if algo == "gear":
 
-        def dots3(r, u, w):
+        def dots3(ru, rv, uu, uv, wu, wv):
             partial_sums = jnp.stack(
-                [jnp.sum(r * u), jnp.sum(w * u), jnp.sum(r * r)]
+                [
+                    jnp.sum(ru * uu) + jnp.sum(rv * uv),
+                    jnp.sum(wu * uu) + jnp.sum(wv * uv),
+                    jnp.sum(ru * ru) + jnp.sum(rv * rv),
+                ]
             )
             s = lax.psum(partial_sums, axis_name)  # one collective, 3 scalars
             return s[0], s[1], s[2]
 
-        return pcg_solve_gear(
-            apply_A, b, diag, rtol, maxiter,
-            x0=x0, dots3=dots3, sync_axes=sync_axes, a12=sys.a12,
+        xu, xv = pcg_solve_split_gear(
+            apply_A, sys.b_u, sys.b_v, du, dv, rtol, maxiter,
+            a12=sys.a12, x0=x0_split, dots3=dots3, sync_axes=sync_axes,
         )
-    dot = lambda a, c: lax.psum(jnp.sum(a * c), axis_name)
-    return pcg_solve(
-        apply_A, b, diag, rtol, maxiter, x0=x0, dot=dot, sync_axes=sync_axes, a12=sys.a12
-    )
+    else:
+        dot2 = lambda au, av, bu_, bv_: lax.psum(
+            jnp.sum(au * bu_) + jnp.sum(av * bv_), axis_name
+        )
+        xu, xv = pcg_solve_split(
+            apply_A, sys.b_u, sys.b_v, du, dv, rtol, maxiter,
+            a12=sys.a12, x0=x0_split, dot2=dot2, sync_axes=sync_axes,
+        )
+    return jnp.stack([xu, xv], axis=-1)
 
 
 def solve_flow_system_sharded(

@@ -73,3 +73,28 @@ def halo_exchange_rows(x, radius: int, axis_name: str, mode: str = "zero"):
         top_halo = jnp.where(idx == 0, fill(x, radius, top=True), top_halo)
         bottom_halo = jnp.where(idx == n - 1, fill(x, radius, top=False), bottom_halo)
     return jnp.concatenate([top_halo, x, bottom_halo], axis=0)
+
+
+def halo_exchange_rows_multi(xs, radius: int, axis_name: str):
+    """Halo-extend several same-shaped (Hs, W) planes with ONE ppermute pair.
+
+    The channel-split CG state keeps (u, v) as separate planes for lane
+    occupancy (``solvers/cg.py::pcg_solve_split``), but a naive per-plane
+    halo exchange would double the per-iteration collective count.  Only
+    the thin boundary strips travel: the planes' strips are stacked into a
+    single (n, radius, W) payload, so the ``ppermute`` count — the
+    latency-bound cost on a mesh — stays what it was for one stacked
+    (Hs, W, 2) array while the CG body itself runs on full-lane planes.
+
+    Zero-fill at the global edges only (the flow Laplacian's dangling edge
+    weights are zero by construction, ops/stencil.py).  Returns the list of
+    (Hs + 2*radius, W) extended planes.
+    """
+    top_strips = jnp.stack([x[-radius:] for x in xs])
+    bot_strips = jnp.stack([x[:radius] for x in xs])
+    top_halo = _shift_down(top_strips, axis_name)  # from the shard above
+    bottom_halo = _shift_up(bot_strips, axis_name)  # from the shard below
+    return [
+        jnp.concatenate([top_halo[i], x, bottom_halo[i]], axis=0)
+        for i, x in enumerate(xs)
+    ]

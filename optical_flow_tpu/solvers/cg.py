@@ -64,6 +64,64 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
+_CG_ALGOS = ("classic", "gear")
+
+
+def _check_algo(algo: str) -> str:
+    """Reject unknown algo names loudly: a typo ('Gear', 'chrono') must not
+    silently fall through to classic and deny the user the collective
+    saving they asked for."""
+    if algo not in _CG_ALGOS:
+        raise ValueError(
+            f"Unknown CG algo {algo!r} (OFTPU_CG_ALGO?): expected one of {_CG_ALGOS}"
+        )
+    return algo
+
+
+def _block_jacobi_stacked(diag, a12):
+    """Preconditioner for (..., 2)-stacked state: exact inverse of the
+    per-pixel 2x2 block [[diag_u, a12], [a12, diag_v]]; falls back to the
+    reference's zeroed-inverse diagonal (base.py:132) where the block is
+    singular or ``a12`` is None."""
+    dinv = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+    if a12 is None:
+        return lambda r: dinv * r
+    du, dv = diag[..., 0], diag[..., 1]
+    det = du * dv - a12 * a12
+    ok = jnp.abs(det) > 1e-12
+    safe = jnp.where(ok, det, 1.0)
+    i00 = jnp.where(ok, dv / safe, dinv[..., 0])
+    i01 = jnp.where(ok, -a12 / safe, 0.0)
+    i11 = jnp.where(ok, du / safe, dinv[..., 1])
+
+    def precond(r):
+        return jnp.stack(
+            [
+                i00 * r[..., 0] + i01 * r[..., 1],
+                i01 * r[..., 0] + i11 * r[..., 1],
+            ],
+            axis=-1,
+        )
+
+    return precond
+
+
+def _block_jacobi_split(du, dv, a12):
+    """Same 2x2 block inverse as :func:`_block_jacobi_stacked`, acting on
+    channel-split (ru, rv) plane pairs."""
+    dinv_u = jnp.where(jnp.abs(du) > 1e-12, 1.0 / du, 0.0)
+    dinv_v = jnp.where(jnp.abs(dv) > 1e-12, 1.0 / dv, 0.0)
+    if a12 is None:
+        return lambda ru, rv: (dinv_u * ru, dinv_v * rv)
+    det = du * dv - a12 * a12
+    ok = jnp.abs(det) > 1e-12
+    safe = jnp.where(ok, det, 1.0)
+    i00 = jnp.where(ok, dv / safe, dinv_u)
+    i01 = jnp.where(ok, -a12 / safe, 0.0)
+    i11 = jnp.where(ok, du / safe, dinv_v)
+    return lambda ru, rv: (i00 * ru + i01 * rv, i01 * ru + i11 * rv)
+
+
 def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=(), a12=None):
     """PCG on ``A x = b``, block-Jacobi (2x2 per-pixel) preconditioned.
 
@@ -93,27 +151,7 @@ def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=(), 
     if x0 is None:
         x0 = jnp.zeros_like(b)
     # reference zeroes the inverse diagonal where |diag| <= 1e-12 (base.py:132)
-    dinv = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
-    if a12 is not None:
-        du, dv = diag[..., 0], diag[..., 1]
-        det = du * dv - a12 * a12
-        ok = jnp.abs(det) > 1e-12
-        safe = jnp.where(ok, det, 1.0)
-        i00 = jnp.where(ok, dv / safe, dinv[..., 0])
-        i01 = jnp.where(ok, -a12 / safe, 0.0)
-        i11 = jnp.where(ok, du / safe, dinv[..., 1])
-
-        def precond(r):
-            return jnp.stack(
-                [
-                    i00 * r[..., 0] + i01 * r[..., 1],
-                    i01 * r[..., 0] + i11 * r[..., 1],
-                ],
-                axis=-1,
-            )
-
-    else:
-        precond = lambda r: dinv * r
+    precond = _block_jacobi_stacked(diag, a12)
 
     r0 = b - apply_A(x0)
     z0 = precond(r0)
@@ -170,27 +208,7 @@ def pcg_solve_gear(
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    dinv = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
-    if a12 is not None:
-        du, dv = diag[..., 0], diag[..., 1]
-        det = du * dv - a12 * a12
-        ok = jnp.abs(det) > 1e-12
-        safe = jnp.where(ok, det, 1.0)
-        i00 = jnp.where(ok, dv / safe, dinv[..., 0])
-        i01 = jnp.where(ok, -a12 / safe, 0.0)
-        i11 = jnp.where(ok, du / safe, dinv[..., 1])
-
-        def precond(r):
-            return jnp.stack(
-                [
-                    i00 * r[..., 0] + i01 * r[..., 1],
-                    i01 * r[..., 0] + i11 * r[..., 1],
-                ],
-                axis=-1,
-            )
-
-    else:
-        precond = lambda r: dinv * r
+    precond = _block_jacobi_stacked(diag, a12)
 
     if dots3 is None:
 
@@ -234,7 +252,9 @@ def pcg_solve_gear(
     return out[1]
 
 
-def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
+def pcg_solve_split(
+    apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None, dot2=None, sync_axes=()
+):
     """Block-Jacobi PCG with CHANNEL-SPLIT state: two (H, W) planes.
 
     Same math, fixed point, preconditioner, and stopping rule as
@@ -248,32 +268,23 @@ def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
 
     ``apply_A``: (xu, xv) -> (yu, yv) plane pairs
     (:func:`~optical_flow_tpu.ops.stencil.system_apply_split`).
+
+    ``dot2(au, av, bu, bv) -> scalar`` is injectable so the sharded caller
+    (``parallel/dist.py``) can psum-reduce the per-shard partials;
+    ``sync_axes`` forces a uniform trip count across mesh axes running
+    independent solves (see :func:`pcg_solve`).
     """
     if x0 is None:
         xu = jnp.zeros_like(bu)
         xv = jnp.zeros_like(bv)
     else:
         xu, xv = x0
-    dinv_u = jnp.where(jnp.abs(du) > 1e-12, 1.0 / du, 0.0)
-    dinv_v = jnp.where(jnp.abs(dv) > 1e-12, 1.0 / dv, 0.0)
-    if a12 is not None:
-        det = du * dv - a12 * a12
-        ok = jnp.abs(det) > 1e-12
-        safe = jnp.where(ok, det, 1.0)
-        i00 = jnp.where(ok, dv / safe, dinv_u)
-        i01 = jnp.where(ok, -a12 / safe, 0.0)
-        i11 = jnp.where(ok, du / safe, dinv_v)
+    precond = _block_jacobi_split(du, dv, a12)
 
-        def precond(ru, rv):
-            return i00 * ru + i01 * rv, i01 * ru + i11 * rv
+    if dot2 is None:
 
-    else:
-
-        def precond(ru, rv):
-            return dinv_u * ru, dinv_v * rv
-
-    def dot2(au, av, bu_, bv_):
-        return jnp.sum(au * bu_) + jnp.sum(av * bv_)
+        def dot2(au, av, bu_, bv_):
+            return jnp.sum(au * bu_) + jnp.sum(av * bv_)
 
     Axu, Axv = apply_A(xu, xv)
     ru, rv = bu - Axu, bv - Axv
@@ -283,7 +294,10 @@ def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
 
     def cond(state):
         k, _xu, _xv, ru, rv, _zu, _zv, _pu, _pv, _rz = state
-        return jnp.logical_and(k < maxiter, dot2(ru, rv, ru, rv) > tol2)
+        unconverged = (dot2(ru, rv, ru, rv) > tol2).astype(jnp.int32)
+        for axn in sync_axes:
+            unconverged = jax.lax.pmax(unconverged, axn)
+        return jnp.logical_and(k < maxiter, unconverged > 0)
 
     def body(state):
         k, xu, xv, ru, rv, zu, zv, pu, pv, rz = state
@@ -306,7 +320,9 @@ def pcg_solve_split(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
     return out[1], out[2]
 
 
-def pcg_solve_split_gear(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None):
+def pcg_solve_split_gear(
+    apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None, dots3=None, sync_axes=()
+):
     """Chronopoulos–Gear PCG, channel-split: ONE fused reduce pass/iteration.
 
     Classic PCG has a true data dependency between its two per-iteration
@@ -355,41 +371,37 @@ def pcg_solve_split_gear(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=No
     identical — only floating-point accumulation of the recurrence
     differs, bounded by the CG tolerance like every other solver-path
     variation (reference semantics: ``base.py:116-136``).
+
+    ``dots3(ru, rv, uu, uv, wu, wv) -> (r·u, w·u, r·r)`` is injectable so
+    the sharded caller (``parallel/dist.py``) can reduce all three scalars
+    in ONE stacked ``psum``; ``sync_axes`` as in :func:`pcg_solve`.
     """
     if x0 is None:
         xu = jnp.zeros_like(bu)
         xv = jnp.zeros_like(bv)
     else:
         xu, xv = x0
-    dinv_u = jnp.where(jnp.abs(du) > 1e-12, 1.0 / du, 0.0)
-    dinv_v = jnp.where(jnp.abs(dv) > 1e-12, 1.0 / dv, 0.0)
-    if a12 is not None:
-        det = du * dv - a12 * a12
-        ok = jnp.abs(det) > 1e-12
-        safe = jnp.where(ok, det, 1.0)
-        i00 = jnp.where(ok, dv / safe, dinv_u)
-        i01 = jnp.where(ok, -a12 / safe, 0.0)
-        i11 = jnp.where(ok, du / safe, dinv_v)
-
-        def precond(ru, rv):
-            return i00 * ru + i01 * rv, i01 * ru + i11 * rv
-
-    else:
-
-        def precond(ru, rv):
-            return dinv_u * ru, dinv_v * rv
+    precond = _block_jacobi_split(du, dv, a12)
 
     def dot2(au, av, bu_, bv_):
         return jnp.sum(au * bu_) + jnp.sum(av * bv_)
+
+    if dots3 is None:
+
+        def dots3(ru, rv, uu, uv, wu, wv):
+            return (
+                dot2(ru, rv, uu, uv),
+                dot2(wu, wv, uu, uv),
+                dot2(ru, rv, ru, rv),
+            )
 
     Axu, Axv = apply_A(xu, xv)
     ru, rv = bu - Axu, bv - Axv
     uu, uv = precond(ru, rv)
     wu, wv = apply_A(uu, uv)
-    gamma0 = dot2(ru, rv, uu, uv)
-    delta0 = dot2(wu, wv, uu, uv)
-    rr0 = dot2(ru, rv, ru, rv)
-    tol2 = (rtol**2) * dot2(bu, bv, bu, bv)
+    gamma0, delta0, rr0 = dots3(ru, rv, uu, uv, wu, wv)
+    # the [2] slot of dots3 is r·r; the other two duplicate b·b and CSE away
+    tol2 = (rtol**2) * dots3(bu, bv, bu, bv, bu, bv)[2]
     alpha0 = jnp.where(delta0 != 0.0, gamma0 / delta0, 0.0)
     beta0 = jnp.zeros_like(gamma0)
     zu = jnp.zeros_like(bu)
@@ -398,7 +410,10 @@ def pcg_solve_split_gear(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=No
     def cond(state):
         k = state[0]
         rr = state[-1]
-        return jnp.logical_and(k < maxiter, rr > tol2)
+        unconverged = (rr > tol2).astype(jnp.int32)
+        for axn in sync_axes:
+            unconverged = jax.lax.pmax(unconverged, axn)
+        return jnp.logical_and(k < maxiter, unconverged > 0)
 
     def body(state):
         (k, xu, xv, ru, rv, uu, uv, wu, wv, pu, pv, su, sv,
@@ -414,9 +429,7 @@ def pcg_solve_split_gear(apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=No
         uu, uv = precond(ru, rv)
         wu, wv = apply_A(uu, uv)
         # the three reductions below are mutually independent — one fused pass
-        gamma_new = dot2(ru, rv, uu, uv)
-        delta = dot2(wu, wv, uu, uv)
-        rr = dot2(ru, rv, ru, rv)
+        gamma_new, delta, rr = dots3(ru, rv, uu, uv, wu, wv)
         beta_new = jnp.where(gamma != 0.0, gamma_new / gamma, 0.0)
         denom = delta - beta_new * jnp.where(
             alpha != 0.0, gamma_new / alpha, 0.0
@@ -470,7 +483,9 @@ def solve_flow_system(
         )
         du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
         dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
-        split_impl = pcg_solve_split_gear if CG_ALGO == "gear" else pcg_solve_split
+        split_impl = (
+            pcg_solve_split_gear if _check_algo(CG_ALGO) == "gear" else pcg_solve_split
+        )
         xu, xv = split_impl(
             lambda xu, xv: system_apply_split(sys, xu, xv),
             sys.b_u,
