@@ -66,6 +66,23 @@ def worker(pid: int, nproc: int, port: int) -> None:
     def make_global(sharding, arr):
         return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
+    def timed_best(fn, trials: int = 3):
+        """best-of-N wall times, ALL trials recorded.
+
+        Single-shot walls on this fabric swing >2x with machine load (a
+        concurrent test suite measurably inverted a gear-vs-classic
+        ordering once, and r4's committed dp/sp steadies were 18-35x
+        contention-corrupted) — the MIN is the contention-free estimate,
+        and the full list is kept so a reviewer can see the variance the
+        min was taken over.
+        """
+        walls = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            walls.append(round(time.perf_counter() - t0, 4))
+        return min(walls), walls
+
     # ------------------------------------------------------------------
     # DP: batch-8 whole-flow HS, batch axis spanning both processes
     # ------------------------------------------------------------------
@@ -107,9 +124,10 @@ def worker(pid: int, nproc: int, port: int) -> None:
     t0 = time.perf_counter()
     out = jax.block_until_ready(step(g_images, g_uv0))
     res["dp_first_call_s"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
+    res["dp_steady_s"], res["dp_steady_trials_s"] = timed_best(
+        lambda: step(g_images, g_uv0)
+    )
     out = jax.block_until_ready(step(g_images, g_uv0))
-    res["dp_steady_s"] = round(time.perf_counter() - t0, 4)
     out_g = np.asarray(multihost_utils.process_allgather(out, tiled=True))
 
     ref_fn = jax.jit(lambda im, uv: hs_flow_program(plan, im, uv))
@@ -149,25 +167,44 @@ def worker(pid: int, nproc: int, port: int) -> None:
     g_color2 = make_global(sh_sp, color2)
     g_uv2 = make_global(sh_sp, uv2)
 
-    t0 = time.perf_counter()
-    out2 = jax.block_until_ready(
-        classic_nl_level_step_spatial(
+    def level_sharded():
+        return classic_nl_level_step_spatial(
             cfg, g_images2, g_color2, g_uv2, jnp.float32(0.5), mesh_sp, halo=6
         )
-    )
+
+    t0 = time.perf_counter()
+    out2 = jax.block_until_ready(level_sharded())
     res["sp_first_call_s"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    out2 = jax.block_until_ready(
-        classic_nl_level_step_spatial(
-            cfg, g_images2, g_color2, g_uv2, jnp.float32(0.5), mesh_sp, halo=6
-        )
-    )
-    res["sp_steady_s"] = round(time.perf_counter() - t0, 4)
+    res["sp_steady_s"], res["sp_steady_trials_s"] = timed_best(level_sharded)
+    out2 = jax.block_until_ready(level_sharded())
     out2_g = np.asarray(multihost_utils.process_allgather(out2, tiled=True))
     ref2 = np.asarray(
         classic_nl_level_step(cfg, images2, color2, uv2, jnp.float32(0.5))
     )
     res["sp_max_abs_diff_vs_unsharded"] = float(np.abs(out2_g - ref2).max())
+
+    # ------------------------------------------------------------------
+    # Gear A/B on the PRODUCTION sharded level step (not just the bare
+    # solver): the level program wraps the CG in warping + wmedian +
+    # occlusion, so this measures what the collective saving is worth
+    # where it actually runs.  CG_ALGO is trace-time state and part of the
+    # spatial jit cache key, so flipping it compiles a distinct program.
+    # ------------------------------------------------------------------
+    from optical_flow_tpu.solvers import cg as cg_mod
+
+    res["level_classic_s"] = res["sp_steady_s"]
+    res["level_classic_trials_s"] = res["sp_steady_trials_s"]
+    cg_mod.CG_ALGO = "gear"
+    try:
+        out2g = jax.block_until_ready(level_sharded())  # compile
+        res["level_gear_s"], res["level_gear_trials_s"] = timed_best(level_sharded)
+        out2g_g = np.asarray(multihost_utils.process_allgather(out2g, tiled=True))
+    finally:
+        cg_mod.CG_ALGO = "classic"
+    res["level_gear_vs_classic_max_diff"] = float(np.abs(out2g_g - out2_g).max())
+    res["level_gear_speedup"] = round(
+        res["level_classic_s"] / max(res["level_gear_s"], 1e-9), 2
+    )
 
     # ------------------------------------------------------------------
     # Distributed CG: classic (3 psum rounds/iter) vs gear (1 stacked psum)
@@ -196,17 +233,11 @@ def worker(pid: int, nproc: int, port: int) -> None:
                 s, mesh_sp, rtol=1e-6, maxiter=400, algo=a
             )
         )
+        x = jax.block_until_ready(fn(cg_sys))  # compile
+        res[f"cg_{algo}_steady_s"], res[f"cg_{algo}_trials_s"] = timed_best(
+            lambda: fn(cg_sys)
+        )
         x = jax.block_until_ready(fn(cg_sys))
-        # best-of-3: single-shot walls on this fabric swing >2x with
-        # machine load (a concurrent test suite measurably inverted the
-        # classic/gear ordering once) — the MIN is the contention-free
-        # estimate of each algorithm's cost
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            x = jax.block_until_ready(fn(cg_sys))
-            best = min(best, time.perf_counter() - t0)
-        res[f"cg_{algo}_steady_s"] = round(best, 4)
         cg_out[algo] = np.asarray(multihost_utils.process_allgather(x, tiled=True))
     res["cg_gear_vs_classic_max_diff"] = float(
         np.abs(cg_out["gear"] - cg_out["classic"]).max()
@@ -219,6 +250,7 @@ def worker(pid: int, nproc: int, port: int) -> None:
         res["dp_max_abs_diff_vs_unsharded"] < 1e-4
         and res["sp_max_abs_diff_vs_unsharded"] < 1e-4
         and res["cg_gear_vs_classic_max_diff"] < 1e-4
+        and res["level_gear_vs_classic_max_diff"] < 1e-4
     )
     if pid == 0:
         with open(WORKER_OUT, "w") as f:

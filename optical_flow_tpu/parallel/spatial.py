@@ -845,7 +845,12 @@ def classic_nl_level_step_spatial(cfg, images, color, uv, alpha, mesh,
 
         return classic_nl_level_step(cfg, images, color, uv, alpha)
 
-    key = (cfg, scfg, mesh)
+    # CG_ALGO is read at TRACE time (parallel/dist.py) — it must be part
+    # of the key or an env/monkeypatch flip would silently reuse the old
+    # program (the multihost gear A/B depends on this)
+    from optical_flow_tpu.solvers import cg as _cg
+
+    key = (cfg, scfg, mesh, _cg.CG_ALGO)
     if key not in _spatial_cache:
         spec = P(SPACE_AXIS)
         color_spec = spec if cfg.use_color else P()
@@ -934,7 +939,12 @@ def alt_ba_level_step_spatial(cfg, images, uv, uvhat, alpha, replacement,
     if scfg is None:
         return alt_ba_level_step(cfg, images, uv, uvhat, alpha, replacement)
 
-    key = (cfg, scfg, mesh)
+    # CG_ALGO is read at TRACE time (parallel/dist.py) — it must be part
+    # of the key or an env/monkeypatch flip would silently reuse the old
+    # program (the multihost gear A/B depends on this)
+    from optical_flow_tpu.solvers import cg as _cg
+
+    key = (cfg, scfg, mesh, _cg.CG_ALGO)
     if key not in _spatial_cache:
         spec = P(SPACE_AXIS)
         cubic = irls.interp == "cubic"
@@ -984,7 +994,12 @@ def hs_level_step_spatial(cfg, images, uv, mesh, halo: int = 6):
 
         return hs_level_step(cfg, images, uv)
 
-    key = (cfg, scfg, mesh)
+    # CG_ALGO is read at TRACE time (parallel/dist.py) — it must be part
+    # of the key or an env/monkeypatch flip would silently reuse the old
+    # program (the multihost gear A/B depends on this)
+    from optical_flow_tpu.solvers import cg as _cg
+
+    key = (cfg, scfg, mesh, _cg.CG_ALGO)
     if key not in _spatial_cache:
         spec = P(SPACE_AXIS)
         cubic = cfg.interp == "cubic"
