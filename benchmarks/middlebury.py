@@ -54,18 +54,32 @@ def main():
         if tu is None:
             continue
         # first call pays the (shape-keyed) compile; report it separately
-        # from the steady-state per-frame time so neither number is polluted
+        # from the steady-state per-frame time so neither number is polluted.
+        # NOTE a degraded worker can stretch the first execution of a
+        # (cached or fresh) executable to hundreds of seconds while
+        # steady-state stays normal (r4's canonical artifact froze a 664.7 s
+        # RubberWhale warmup that was pure worker stall) — warmup here is
+        # provenance, not a performance claim.
         t0 = time.time()
         uv = np.asarray(estimate_flow(im1, im2, args.method, params))
         warmup = time.time() - t0
-        t0 = time.time()
-        uv = np.asarray(estimate_flow(im1, im2, args.method, params))
-        dt = time.time() - t0
+        # steady: up to 3 trials, accept when the best two agree within
+        # 20%, report best — same degraded-worker defense as bench.py
+        trials = []
+        for _ in range(3):
+            t0 = time.time()
+            uv = np.asarray(estimate_flow(im1, im2, args.method, params))
+            trials.append(time.time() - t0)
+            top2 = sorted(trials)[:2]
+            if len(top2) == 2 and top2[1] <= 1.2 * top2[0]:
+                break
+        dt = min(trials)
         aae, _, aepe = flow_angular_error(tu, tv, uv[:, :, 0], uv[:, :, 1])
         results[seq] = {
             "aae": round(float(aae), 3),
             "aepe": round(float(aepe), 4),
             "sec": round(dt, 2),
+            "sec_trials": [round(t, 2) for t in trials],
             "warmup_sec": round(warmup, 2),
         }
         print(f"{seq:<14} {aae:7.3f} {aepe:7.4f} {dt:7.2f} {warmup:8.2f}")
@@ -86,6 +100,19 @@ def main():
         "params": "preset defaults + display=False (solver='backslash' tight-CG)",
         "notebook_delta": "middlebury_benchmark.ipynb uses solver='pcg'",
         "deterministic": "re-runs reproduce AAE/AEPE to the rounded digits",
+    }
+    # shared degraded-worker telemetry (see bench.py): lets a reviewer tell
+    # measurement from worker pathology without re-running
+    seq_rows = {k: r for k, r in results.items()
+                if not k.startswith("_") and "warmup_sec" in r}
+    retried = [k for k, r in seq_rows.items() if len(r["sec_trials"]) > 2]
+    results["_worker_health"] = {
+        "max_warmup_over_steady": round(
+            max(r["warmup_sec"] / max(r["sec"], 1e-9) for r in seq_rows.values()), 1
+        ),
+        "sequences_needing_retry": retried,
+        "worker_suspect": bool(retried),
+        "note": "warmup includes (remote) compile or AOT-cache load; a multi-hundred-x ratio with normal steady = worker stall, not a perf property",
     }
 
     gate_fail = check_ref_oracle_gates(results, args.method)
@@ -110,13 +137,20 @@ def main():
 #   hs:              Urban2 +0.033 deg / +0.034 px — quadratic HS on 22-px
 #                    motion is fixed-point-sensitive (8x tighter CG moves
 #                    AEPE by 1e-4; see docs/PARITY.md), hence the looser
-#                    AEPE gate for hs only.
+#                    AEPE gate for (hs, Urban2) ONLY: the other 7 hs
+#                    sequences measure <= 0.0015 px and get the flagship's
+#                    0.01 px gate (a real 0.03 px hs regression on
+#                    RubberWhale must FAIL, not hide under Urban2's excuse).
 GATES = {
     "classic+nl-fast": (0.2, 0.01),
     "classic+nl": (0.2, 0.02),
     "classic++": (0.2, 0.02),
     "ba": (0.2, 0.02),
-    "hs": (0.2, 0.05),
+    "hs": (0.2, 0.01),
+}
+# (method, sequence) overrides — tight everywhere, documented exceptions only
+SEQ_GATES = {
+    ("hs", "Urban2"): (0.2, 0.05),
 }
 
 
@@ -132,14 +166,14 @@ def check_ref_oracle_gates(results, method):
             oracle = json.load(f).get(method)
     if oracle is None or method not in GATES:
         return False
-    aae_gate, aepe_gate = GATES[method]
     fail = False
-    print(f"\nvs reference oracle (gates for {method}: |dAAE| <= {aae_gate} deg,"
-          f" |dAEPE| <= {aepe_gate} px)")
+    print(f"\nvs reference oracle (gates for {method}: base {GATES[method]},"
+          f" per-sequence overrides {[k for k in SEQ_GATES if k[0] == method]})")
     print(f"{'sequence':<14} {'dAAE':>8} {'dAEPE':>8}")
     for seq, r in results.items():
         if seq.startswith("_") or seq not in oracle:
             continue
+        aae_gate, aepe_gate = SEQ_GATES.get((method, seq), GATES[method])
         d_aae = r["aae"] - oracle[seq]["aae"]
         d_aepe = r["aepe"] - oracle[seq]["aepe"]
         bad = abs(d_aae) > aae_gate or abs(d_aepe) > aepe_gate

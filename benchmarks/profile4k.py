@@ -54,6 +54,21 @@ def _sync(out):
     return out
 
 
+# degraded-worker telemetry: per-measurement trial ratios, dumped into the
+# artifact so a reviewer can tell a sick-worker window from a real number
+# (a degraded worker stretches individual windows multi-x while the best
+# trial stays at the true cost — CLAUDE.md / DESIGN section 8)
+_HEALTH: dict = {}
+
+
+def _record_health(name, trials):
+    best = min(trials)
+    _HEALTH[str(name)] = {
+        "trials_s": [round(t, 4) for t in trials],
+        "trial0_over_best": round(trials[0] / max(best, 1e-9), 2),
+    }
+
+
 def timed(fn, *args, reps=3, name=None, static_key=None):
     """Jit `fn` with a scalar checksum folded into the program; warm once,
     then best-of-reps wall time, synced by fetching the 4-byte checksum.
@@ -85,13 +100,14 @@ def timed(fn, *args, reps=3, name=None, static_key=None):
         call = lambda: cfn(*args)
     out, chk = call()
     float(chk)
-    best = float("inf")
+    trials = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out, chk = call()
         float(chk)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        trials.append(time.perf_counter() - t0)
+    _record_health(name or getattr(fn, "__name__", "?"), trials)
+    return min(trials), out
 
 
 def timed_host(fn, *args, reps=3):
@@ -99,12 +115,13 @@ def timed_host(fn, *args, reps=3):
     program): sync via an eager one-element fetch.  The ~0.5 s eager-dispatch
     overhead is fine for the multi-second end-to-end measurements."""
     out = _sync(fn(*args))
-    best = float("inf")
+    trials = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = _sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        trials.append(time.perf_counter() - t0)
+    _record_health(getattr(fn, "__name__", "e2e"), trials)
+    return min(trials), out
 
 
 def main():
@@ -361,6 +378,12 @@ def main():
         log(f"  {k:<{width}}  {v * 1000:9.1f} ms")
     log(f"  {'per warp iter (x' + str(finest_iters) + ' at full res)':<{width}}  {per_iter * 1000:9.1f} ms")
 
+    suspects = {k: h for k, h in _HEALTH.items() if h["trial0_over_best"] > 2.0}
+    results["worker_health"] = {
+        "per_measurement": _HEALTH,
+        "worker_suspect": bool(suspects),
+        "suspect_measurements": sorted(suspects),
+    }
     out_path = os.path.join(REPO, "benchmarks", "results_4k_profile.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
@@ -368,7 +391,8 @@ def main():
         "metric": f"classic+nl-fast s/frame @{W}x{H}",
         "value": results.get("e2e_perlevel_s", results["accounted_s"]),
         "unit": "s",
-        **{k: v for k, v in results.items() if k != "stages_s"},
+        **{k: v for k, v in results.items() if k not in ("stages_s", "worker_health")},
+        "worker_suspect": results["worker_health"]["worker_suspect"],
     }))
 
 

@@ -52,6 +52,7 @@ def main():
     sizes = [int(s) for s in (sys.argv[1].split(",") if len(sys.argv) > 1 else ["1", "2", "4", "8"])]
     results = {}
     f16_rows = {}
+    health = {}
     # the serving shape: raw (uint8-exact) frames in -> flows out; the
     # rgb2gray/rgb2lab preprocessing is INSIDE the timed program
     for B in sizes:
@@ -62,19 +63,26 @@ def main():
         uv = np.asarray(
             estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=params)
         )
-        log(f"B={B}: warmup (incl. compile) {time.time() - t0:.1f}s")
+        warmup = time.time() - t0
+        log(f"B={B}: warmup (incl. compile) {warmup:.1f}s")
 
-        best = float("inf")
+        trials = []
         for i in range(3):
             t0 = time.time()
             uv = np.asarray(
                 estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=params)
             )
             dt = time.time() - t0
-            best = min(best, dt)
+            trials.append(dt)
             log(f"B={B} run {i}: {dt:.2f}s  ({B / dt:.3f} frames/s)")
+        best = min(trials)
         aae, _, aepe = flow_angular_error(tu, tv, uv[0, :, :, 0], uv[0, :, :, 1])
         results[B] = (B / best, float(aae), float(aepe))
+        health[B] = {
+            "warmup_s": round(warmup, 1),
+            "trials_s": [round(t, 3) for t in trials],
+            "trial0_over_best": round(trials[0] / best, 2),
+        }
 
         if B >= 8:
             # the large-batch dip is LINK traffic, not device compute (the r3
@@ -87,14 +95,19 @@ def main():
             uv = np.asarray(
                 estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=p16)
             )
-            best16 = float("inf")
+            trials16 = []
             for i in range(3):
                 t0 = time.time()
                 uv = np.asarray(
                     estimate_flow_batched_rgb(im1_b, im2_b, "classic+nl-fast", params=p16)
                 )
-                best16 = min(best16, time.time() - t0)
-                log(f"B={B}+f16 run {i}: {best16:.2f}s  ({B / best16:.3f} frames/s)")
+                trials16.append(time.time() - t0)
+                log(f"B={B}+f16 run {i}: {trials16[-1]:.2f}s  ({B / trials16[-1]:.3f} frames/s)")
+            best16 = min(trials16)
+            health[f"{B}+f16"] = {
+                "trials_s": [round(t, 3) for t in trials16],
+                "trial0_over_best": round(trials16[0] / best16, 2),
+            }
             aae, _, aepe = flow_angular_error(
                 tu, tv, uv[0, :, :, 0].astype(np.float64), uv[0, :, :, 1].astype(np.float64)
             )
@@ -111,7 +124,7 @@ def main():
                     "unit": "frames/s",
                     "vs_baseline": round(fps / (1.0 / 270.8), 2),
                     "batch": B,
-                    "dp_efficiency_vs_B1": round(fps / base_fps, 3),
+                    "batch_amortization_vs_B1": round(fps / base_fps, 3),
                     "aae_deg": round(aae, 3),
                     "aepe_px": round(aepe, 4),
                 }
@@ -128,14 +141,13 @@ def main():
                     "vs_baseline": round(fps / (1.0 / 270.8), 2),
                     "batch": B,
                     "out_dtype": "float16",
-                    "dp_efficiency_vs_B1": round(fps / base_fps, 3),
+                    "batch_amortization_vs_B1": round(fps / base_fps, 3),
                     "aae_deg": round(aae, 3),
                     "aepe_px": round(aepe, 4),
                 }
             ),
             flush=True,
         )
-
 
 if __name__ == "__main__":
     main()
