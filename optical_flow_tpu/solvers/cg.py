@@ -253,7 +253,8 @@ def pcg_solve_gear(
 
 
 def pcg_solve_split(
-    apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None, dot2=None, sync_axes=()
+    apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None, dot2=None,
+    sync_axes=(), return_iters=False,
 ):
     """Block-Jacobi PCG with CHANNEL-SPLIT state: two (H, W) planes.
 
@@ -317,6 +318,8 @@ def pcg_solve_split(
 
     state = (jnp.asarray(0), xu, xv, ru, rv, zu, zv, zu, zv, rz0)
     out = jax.lax.while_loop(cond, body, state)
+    if return_iters:
+        return out[1], out[2], out[0]
     return out[1], out[2]
 
 

@@ -308,3 +308,39 @@ def test_batched_alt_ba_matches_single(synthetic_pair):
     for b in range(2):
         np.testing.assert_allclose(uv_p[b], uv_s, atol=3e-2)
         assert np.abs(uv_p[b] - uv_s).mean() < 1e-3
+
+
+@needs_8
+def test_halo_exchange_rows_multi_matches_per_plane():
+    """The strip-stacked multi-plane exchange (one ppermute pair for the
+    whole channel-split CG state) produces exactly what per-plane
+    zero-mode exchanges produce."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from optical_flow_tpu.parallel.halo import (
+        halo_exchange_rows,
+        halo_exchange_rows_multi,
+    )
+
+    mesh = flow_mesh(batch=1, space=8)
+    xu = jnp.arange(64.0 * 4).reshape(64, 4)
+    xv = jnp.arange(64.0 * 4).reshape(64, 4) * -0.5 + 3.0
+
+    multi = shard_map(
+        lambda a, b: tuple(halo_exchange_rows_multi([a, b], 2, SPACE_AXIS)),
+        mesh=mesh,
+        in_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
+        out_specs=(P(SPACE_AXIS), P(SPACE_AXIS)),
+    )
+    single = shard_map(
+        partial(halo_exchange_rows, radius=2, axis_name=SPACE_AXIS),
+        mesh=mesh,
+        in_specs=P(SPACE_AXIS),
+        out_specs=P(SPACE_AXIS),
+    )
+    ou, ov = multi(xu, xv)
+    np.testing.assert_array_equal(np.asarray(ou), np.asarray(single(xu)))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(single(xv)))

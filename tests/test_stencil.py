@@ -247,3 +247,57 @@ def test_pcg_gear_matches_classic(rng):
     np.testing.assert_allclose(
         np.asarray(xv_g), np.asarray(xv_c), rtol=1e-5, atol=1e-8
     )
+
+
+def test_cheby_meets_stopping_rule(rng):
+    """Chebyshev semi-iteration (reduce-free body, solvers/chebyshev.py)
+    reaches the SAME stopping rule as PCG (||r|| <= rtol ||b||) with
+    Lanczos-estimated bounds, and at tight tolerance matches the dense
+    solve — same fixed point, different polynomial."""
+    from functools import partial as _partial
+
+    import jax.numpy as jnp
+
+    from optical_flow_tpu.ops.stencil import (
+        system_apply_split,
+        weighted_laplacian_diag,
+    )
+    from optical_flow_tpu.solvers.cg import _block_jacobi_split
+    from optical_flow_tpu.solvers.chebyshev import (
+        cheby_solve_split,
+        lanczos_bounds_split,
+    )
+
+    _, uv, duv, It, Ix, Iy = _rand_system(rng, h=16, w=20)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
+    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
+    ap = _partial(system_apply_split, sys)
+    precond = _block_jacobi_split(du, dv, sys.a12)
+    lmin, lmax = lanczos_bounds_split(ap, precond, sys.b_u, sys.b_v, k=12)
+    assert float(lmin) > 0 and float(lmax) > float(lmin)
+
+    for rtol, max_iter in ((1e-3, 4000), (1e-8, 20000)):
+        xu, xv = cheby_solve_split(
+            ap, sys.b_u, sys.b_v, du, dv, lmin, lmax, rtol, max_iter,
+            a12=sys.a12, check_every=8,
+        )
+        yu, yv = ap(jnp.asarray(xu), jnp.asarray(xv))
+        r = np.stack([sys.b_u - np.asarray(yu), sys.b_v - np.asarray(yv)], -1)
+        b = np.stack([np.asarray(sys.b_u), np.asarray(sys.b_v)], -1)
+        assert np.linalg.norm(r) <= rtol * np.linalg.norm(b) * 1.001
+    x = np.stack([np.asarray(xu), np.asarray(xv)], -1)
+    np.testing.assert_allclose(x, dense_solve(sys), rtol=1e-4, atol=1e-6)
+
+
+def test_cg_algo_validation():
+    """Typos in OFTPU_CG_ALGO / algo= must raise, not silently run classic."""
+    import pytest as _pytest
+
+    from optical_flow_tpu.solvers.cg import _check_algo
+
+    assert _check_algo("classic") == "classic"
+    assert _check_algo("gear") == "gear"
+    with _pytest.raises(ValueError, match="Unknown CG algo"):
+        _check_algo("Gear")
