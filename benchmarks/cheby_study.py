@@ -88,11 +88,21 @@ def main():
     )
 
     log("devices:", jax.devices())
+    # resumable per size: a wedged remote-compile helper kills the process
+    # (measured: broken pipe at the 4K row) — merge into the existing
+    # artifact instead of losing completed rows
+    out_path = os.path.join(REPO, "benchmarks", "results_cheby_study.json")
     results = {"sizes": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    all_sizes = {"540x960": (540, 960), "1080x1920": (1080, 1920),
+                 "2160x3840": (2160, 3840)}
+    want = sys.argv[1].split(",") if len(sys.argv) > 1 else list(all_sizes)
     rtol = 1e-3
     K = 16
 
-    for H, W in ((540, 960), (1080, 1920), (2160, 3840)):
+    for H, W in (all_sizes[k] for k in want):
         log(f"--- {H}x{W} ---")
         sys_ = build_system(H, W)
         du = sys_.a11 + weighted_laplacian_diag(sys_.wu_h, sys_.wu_v)
@@ -175,6 +185,8 @@ def main():
 
         row["cheby_speedup_conv"] = round(t_cg / max(t_ch, 1e-9), 3)
         results["sizes"][f"{H}x{W}"] = row
+        with open(out_path, "w") as f:  # incremental: survive worker wedges
+            json.dump(results, f, indent=1)
 
     r4k = results["sizes"]["2160x3840"]
     results["verdict"] = (
@@ -186,7 +198,6 @@ def main():
         "timing": "checksum-synced best-of-3 jitted walls (block_until_ready lies over axon)",
         "bounds": "12-step Lanczos tridiagonal eigvalsh, widen 1.05 / shrink 0.8",
     }
-    out_path = os.path.join(REPO, "benchmarks", "results_cheby_study.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"verdict": results["verdict"],

@@ -159,3 +159,35 @@ def test_ref_oracle_methods_artifact_consistency():
     for method in ("hs", "classic++"):
         assert seqs <= set(oracle[method])
         assert oracle[method]["_mean"]["aae"] > 0
+
+
+def test_committed_middlebury_artifacts_pass_oracle_gates():
+    """Every committed per-method Middlebury artifact passes the
+    per-(method, sequence) oracle gates (benchmarks/middlebury.py) — the
+    r5 tightening (hs at the flagship's 0.01 px everywhere but the
+    documented Urban2 fixed-point exception) must hold on the canonical
+    runs, and stay holding."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mb", os.path.join(repo, "benchmarks", "middlebury.py")
+    )
+    mb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mb)
+    # per-sequence override table stays minimal: one documented exception
+    assert set(mb.SEQ_GATES) == {("hs", "Urban2")}
+    for fname, method in (
+        ("results_middlebury.json", "classic+nl-fast"),
+        ("results_middlebury_hs.json", "hs"),
+        ("results_middlebury_ba.json", "ba"),
+        ("results_middlebury_cpp.json", "classic++"),
+        ("results_middlebury_nl.json", "classic+nl"),
+    ):
+        with open(os.path.join(repo, "benchmarks", fname)) as f:
+            results = json.load(f)
+        assert not mb.check_ref_oracle_gates(results, method), (
+            f"{fname} fails the {method} oracle gates"
+        )
