@@ -27,10 +27,18 @@ from optical_flow_tpu.ops.stencil import (
 from optical_flow_tpu.parallel.halo import halo_exchange_rows, halo_exchange_rows_multi
 from optical_flow_tpu.parallel.mesh import SPACE_AXIS
 from optical_flow_tpu.solvers.cg import (
-    _check_algo,
     pcg_solve_split,
     pcg_solve_split_gear,
 )
+
+# the mesh path additionally offers 'cheby' (solvers/chebyshev.py): the
+# iteration body carries ZERO collectives — one psum per `check_every`
+# block for stopping, vs classic's 3/iter and gear's 1/iter — at the cost
+# of the minimax polynomial's ~1.7x iteration count (single-chip measured
+# rejection, benchmarks/results_cheby_study.json).  The cheaper the
+# fabric's collectives, the less it pays; the more latency-dominated, the
+# more (multihost.py A/Bs all three on the 2-process Gloo runtime).
+_MESH_ALGOS = ("classic", "gear", "cheby")
 
 
 def _zero_row_pad(x):
@@ -81,7 +89,11 @@ def solve_flow_system_local(
 
     ``algo='gear'`` uses the Chronopoulos–Gear recurrence so the three
     per-iteration scalars reduce in ONE stacked ``psum`` instead of
-    classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖²).
+    classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖²);
+    ``algo='cheby'`` drops the per-iteration collectives to ZERO
+    (Chebyshev semi-iteration, one psum per 16-iteration stopping block +
+    a one-time Lanczos bounds pass) at ~1.7× the iteration count — see
+    ``_MESH_ALGOS`` above and ``solvers/chebyshev.py``.
     Measured 2.55× on the 2-process Gloo dryrun where every collective
     round-trips the cross-process runtime (best-of-3, MULTIHOST.json;
     solution diff vs classic 7e-7); single-chip, where reduces are
@@ -94,7 +106,10 @@ def solve_flow_system_local(
         from optical_flow_tpu.solvers.cg import CG_ALGO
 
         algo = CG_ALGO
-    _check_algo(algo)
+    if algo not in _MESH_ALGOS:
+        raise ValueError(
+            f"Unknown mesh CG algo {algo!r}: expected one of {_MESH_ALGOS}"
+        )
     # loop-invariant weight halos: exchanged once, one stacked ppermute pair
     wu_v_e, wv_v_e = halo_exchange_rows_multi([sys.wu_v, sys.wv_v], 1, axis_name)
     wu_h_p = _zero_row_pad(sys.wu_h)
@@ -114,7 +129,28 @@ def solve_flow_system_local(
 
     # a12 is per-pixel local: the block-Jacobi preconditioner shards freely
     x0_split = None if x0 is None else (x0[..., 0], x0[..., 1])
-    if algo == "gear":
+    if algo == "cheby":
+        from optical_flow_tpu.solvers.cg import _block_jacobi_split
+        from optical_flow_tpu.solvers.chebyshev import (
+            cheby_solve_split,
+            lanczos_bounds_split,
+        )
+
+        dot2 = lambda au, av, bu_, bv_: lax.psum(
+            jnp.sum(au * bu_) + jnp.sum(av * bv_), axis_name
+        )
+        precond = _block_jacobi_split(du, dv, sys.a12)
+        # bounds: 12 Lanczos steps with psum'd dots (once per solve); the
+        # small eigvalsh is replicated per shard — identical inputs,
+        # identical program, identical scalars on every shard
+        lo, hi = lanczos_bounds_split(
+            apply_A, precond, sys.b_u, sys.b_v, k=12, dot2=dot2
+        )
+        xu, xv = cheby_solve_split(
+            apply_A, sys.b_u, sys.b_v, du, dv, lo, hi, rtol, maxiter,
+            a12=sys.a12, x0=x0_split, dot2=dot2, sync_axes=sync_axes,
+        )
+    elif algo == "gear":
 
         def dots3(ru, rv, uu, uv, wu, wv):
             partial_sums = jnp.stack(

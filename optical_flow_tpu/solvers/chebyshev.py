@@ -110,6 +110,7 @@ def lanczos_bounds_split(apply_A, precond, bu, bv, k: int = 12,
 def cheby_solve_split(
     apply_A, bu, bv, du, dv, lmin, lmax, rtol, maxiter,
     a12=None, x0=None, check_every: int = 16, dot2=None, return_iters=False,
+    sync_axes=(),
 ):
     """Preconditioned Chebyshev iteration, channel-split state.
 
@@ -168,7 +169,10 @@ def cheby_solve_split(
 
     def cond(state):
         k, _xu, _xv, ru, rv, _pu, _pv, _alpha = state
-        return jnp.logical_and(k < maxiter, dot2(ru, rv, ru, rv) > tol2)
+        unconverged = (dot2(ru, rv, ru, rv) > tol2).astype(jnp.int32)
+        for axn in sync_axes:
+            unconverged = jax.lax.pmax(unconverged, axn)
+        return jnp.logical_and(k < maxiter, unconverged > 0)
 
     zero_p = jnp.zeros_like(bu)
     state = (jnp.asarray(0), xu, xv, ru, rv, zero_p, jnp.zeros_like(bv),

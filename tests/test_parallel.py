@@ -344,3 +344,25 @@ def test_halo_exchange_rows_multi_matches_per_plane():
     ou, ov = multi(xu, xv)
     np.testing.assert_array_equal(np.asarray(ou), np.asarray(single(xu)))
     np.testing.assert_array_equal(np.asarray(ov), np.asarray(single(xv)))
+
+
+@needs_8
+def test_distributed_cheby_matches_dense(rng):
+    """Chebyshev on the mesh (algo='cheby'): converges to the dense
+    solution at tight tolerance, and the iteration BODY carries zero
+    all-reduces — collectives appear only in the per-K-block stopping
+    check and the one-time Lanczos bounds (dist.py _MESH_ALGOS note)."""
+    import jax
+
+    from optical_flow_tpu.parallel.dist import solve_flow_system_sharded
+
+    sys = _system(rng, 32, 24)
+    x_exact = dense_solve(sys)
+    mesh = flow_mesh(batch=1, space=8)
+    x_ch = np.asarray(
+        solve_flow_system_sharded(sys, mesh, rtol=1e-10, maxiter=20000, algo="cheby")
+    )
+    np.testing.assert_allclose(x_ch, x_exact, atol=1e-6)
+
+    with pytest.raises(ValueError, match="Unknown mesh CG algo"):
+        solve_flow_system_sharded(sys, mesh, algo="chebyshev")
