@@ -105,18 +105,25 @@ def main():
     for H, W in (all_sizes[k] for k in want):
         log(f"--- {H}x{W} ---")
         sys_ = build_system(H, W)
-        du = sys_.a11 + weighted_laplacian_diag(sys_.wu_h, sys_.wu_v)
-        dv = sys_.a22 + weighted_laplacian_diag(sys_.wv_h, sys_.wv_v)
-        apply_A = partial(system_apply_split, sys_)
-        precond = _block_jacobi_split(du, dv, sys_.a12)
+
+        # the system rides through jit as an ARGUMENT (closure capture
+        # bakes the 9 fields into the HLO as constants — ~300 MB at 4K,
+        # which the remote compile helper rejects with HTTP 413)
+        def mk(sys_):
+            du = sys_.a11 + weighted_laplacian_diag(sys_.wu_h, sys_.wu_v)
+            dv = sys_.a22 + weighted_laplacian_diag(sys_.wv_h, sys_.wv_v)
+            apply_A = partial(system_apply_split, sys_)
+            precond = _block_jacobi_split(du, dv, sys_.a12)
+            return du, dv, apply_A, precond
 
         row = {}
 
         # bounds (and their cost, amortizable per system)
-        t_b, trials_b, bounds = timed(
-            lambda bu, bv: lanczos_bounds_split(apply_A, precond, bu, bv, k=12),
-            sys_.b_u, sys_.b_v,
-        )
+        def bounds_fn(sys_):
+            _, _, apply_A, precond = mk(sys_)
+            return lanczos_bounds_split(apply_A, precond, sys_.b_u, sys_.b_v, k=12)
+
+        t_b, trials_b, bounds = timed(bounds_fn, sys_)
         lmin, lmax = float(bounds[0]), float(bounds[1])
         row["lanczos_s"] = round(t_b, 4)
         row["lmin"] = round(lmin, 5)
@@ -125,13 +132,14 @@ def main():
         log(f"bounds [{lmin:.4f}, {lmax:.4f}] kappa {row['kappa']} in {t_b:.3f}s")
 
         # to-convergence: CG
-        def cg_conv(bu, bv):
+        def cg_conv(sys_):
+            du, dv, apply_A, _ = mk(sys_)
             return pcg_solve_split(
-                apply_A, bu, bv, du, dv, rtol, 600, a12=sys_.a12,
+                apply_A, sys_.b_u, sys_.b_v, du, dv, rtol, 600, a12=sys_.a12,
                 return_iters=True,
             )
 
-        t_cg, trials_cg, out = timed(cg_conv, sys_.b_u, sys_.b_v)
+        t_cg, trials_cg, out = timed(cg_conv, sys_)
         cg_iters = int(out[2])
         row["cg_conv_s"] = round(t_cg, 4)
         row["cg_conv_trials_s"] = [round(t, 4) for t in trials_cg]
@@ -140,14 +148,15 @@ def main():
 
         # to-convergence: Chebyshev (bounds INSIDE the timed program — the
         # honest per-system cost)
-        def ch_conv(bu, bv):
-            lo, hi = lanczos_bounds_split(apply_A, precond, bu, bv, k=12)
+        def ch_conv(sys_):
+            du, dv, apply_A, precond = mk(sys_)
+            lo, hi = lanczos_bounds_split(apply_A, precond, sys_.b_u, sys_.b_v, k=12)
             return cheby_solve_split(
-                apply_A, bu, bv, du, dv, lo, hi, rtol, 600,
+                apply_A, sys_.b_u, sys_.b_v, du, dv, lo, hi, rtol, 600,
                 a12=sys_.a12, check_every=K, return_iters=True,
             )
 
-        t_ch, trials_ch, out = timed(ch_conv, sys_.b_u, sys_.b_v)
+        t_ch, trials_ch, out = timed(ch_conv, sys_)
         ch_iters = int(out[2])
         row["cheby_conv_s"] = round(t_ch, 4)
         row["cheby_conv_trials_s"] = [round(t, 4) for t in trials_ch]
@@ -155,29 +164,35 @@ def main():
         log(f"Cheby: {t_ch:.3f}s / {ch_iters} iters (K={K})")
 
         # residual sanity: both meet the stopping rule
-        def relres(xu, xv):
+        def relres(sys_, xu, xv):
+            _, _, apply_A, _ = mk(sys_)
             yu, yv = apply_A(xu, xv)
             r2 = jnp.sum((sys_.b_u - yu) ** 2) + jnp.sum((sys_.b_v - yv) ** 2)
             b2 = jnp.sum(sys_.b_u**2) + jnp.sum(sys_.b_v**2)
             return jnp.sqrt(r2 / b2)
 
-        row["cheby_relres"] = round(float(jax.jit(relres)(out[0], out[1])), 6)
+        row["cheby_relres"] = round(float(jax.jit(relres)(sys_, out[0], out[1])), 6)
 
         # per-iteration cost (rtol 1e-30: no early exit)
         per_iter = {}
         for name, lo_hi in (("cg", (20, 100)), ("cheby", (32, 96))):
             lo, hi = lo_hi
             if name == "cg":
-                f = lambda bu, bv, m: pcg_solve_split(
-                    apply_A, bu, bv, du, dv, 1e-30, m, a12=sys_.a12
-                )
+                def f(sys_, m):
+                    du, dv, apply_A, _ = mk(sys_)
+                    return pcg_solve_split(
+                        apply_A, sys_.b_u, sys_.b_v, du, dv, 1e-30, m,
+                        a12=sys_.a12,
+                    )
             else:
-                f = lambda bu, bv, m: cheby_solve_split(
-                    apply_A, bu, bv, du, dv, lmin, lmax, 1e-30, m,
-                    a12=sys_.a12, check_every=K,
-                )
-            t_lo, _, _ = timed(partial(f, m=lo), sys_.b_u, sys_.b_v)
-            t_hi, _, _ = timed(partial(f, m=hi), sys_.b_u, sys_.b_v)
+                def f(sys_, m):
+                    du, dv, apply_A, _ = mk(sys_)
+                    return cheby_solve_split(
+                        apply_A, sys_.b_u, sys_.b_v, du, dv, lmin, lmax,
+                        1e-30, m, a12=sys_.a12, check_every=K,
+                    )
+            t_lo, _, _ = timed(partial(f, m=lo), sys_)
+            t_hi, _, _ = timed(partial(f, m=hi), sys_)
             per_iter[name] = (t_hi - t_lo) / (hi - lo)
             log(f"{name} per-iter: {per_iter[name] * 1e3:.3f} ms")
         row["cg_per_iter_ms"] = round(per_iter["cg"] * 1e3, 4)

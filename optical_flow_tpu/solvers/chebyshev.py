@@ -20,14 +20,37 @@ systems the data-term-weak pixels push λmin to ~1e-2·λmax, so the
 interval is wide even though CG sees an effectively tighter spectrum.
 The A/B below measures exactly this trade on real 4K systems.
 
-MEASURED STUDY (v5e, smooth 4K Classic+NL stage-2 system, rtol 1e-3,
-checksum-synced timing; benchmarks/results_cheby_study.json):
-see the study artifact for the accept/reject verdict and per-size rows —
-the module stays either way, as the measurement record and for meshes
-where a reduce costs a full collective round (every CG psum crosses the
-fabric; Chebyshev's body needs NONE, only 1 psum per K-block stopping
-check, vs gear's 1/iter — the asymptotically cheapest collective profile
-of any Krylov-family iteration).
+SINGLE-CHIP MEASURED REJECTION (v5e, smooth Classic+NL stage-2 systems,
+rtol 1e-3, checksum-synced best-of-3; benchmarks/results_cheby_study.json):
+
+========== ============== ============== ================
+size       CG (iters)     Cheby (iters)  per-iter cg/ch
+========== ============== ============== ================
+2160x3840  0.171 s (67)   0.351 s (128)  2.14 / 2.33 ms
+1080x1920  0.049 s (64)   0.061 s (112)  0.33 / 0.31 ms
+540x960    0.026 s (65)   0.029 s (112)  (noise floor)
+========== ============== ============== ================
+
+Two findings, both load-bearing for DESIGN §4a:
+
+1. The iteration-count penalty is the predicted ~1.9x (κ≈107,
+   Lanczos-measured) — CG's spectrum adaptivity is worth that much on
+   these systems.
+2. **Removing BOTH per-iteration reduce passes did not reduce
+   per-iteration cost at 4K** (2.14 → 2.33 ms — cheby is ~9% SLOWER per
+   iteration).  The CG iteration is already at the stencil-streaming
+   bandwidth floor: XLA overlaps/fuses the dot-product traffic with the
+   elementwise passes, so the trace's "254 ms of reduces" is concurrent
+   HBM occupancy, not separable work.  A reduce-free recurrence therefore
+   buys nothing single-chip; the only remaining 4K lever is iteration
+   COUNT (a stronger preconditioner — and MG was already a measured
+   net loss, DESIGN §4a).
+
+The module stays: as the measurement record, and because the collective
+profile is real on a MESH — the body needs NO collectives, only 1 psum
+per K-block stopping check vs gear's 1/iter (``parallel/dist.py``
+``algo='cheby'``; multihost.py A/Bs all three on the 2-process Gloo
+runtime).
 
 Eigenvalue bounds come from :func:`lanczos_bounds_split`: k steps of the
 preconditioned Lanczos recurrence (mathematically the PCG coefficient
