@@ -27,18 +27,10 @@ from optical_flow_tpu.ops.stencil import (
 from optical_flow_tpu.parallel.halo import halo_exchange_rows, halo_exchange_rows_multi
 from optical_flow_tpu.parallel.mesh import SPACE_AXIS
 from optical_flow_tpu.solvers.cg import (
+    _check_algo,
     pcg_solve_split,
     pcg_solve_split_gear,
 )
-
-# the mesh path additionally offers 'cheby' (solvers/chebyshev.py): the
-# iteration body carries ZERO collectives — one psum per `check_every`
-# block for stopping, vs classic's 3/iter and gear's 1/iter — at the cost
-# of the minimax polynomial's ~1.7x iteration count (single-chip measured
-# rejection, benchmarks/results_cheby_study.json).  The cheaper the
-# fabric's collectives, the less it pays; the more latency-dominated, the
-# more (multihost.py A/Bs all three on the 2-process Gloo runtime).
-_MESH_ALGOS = ("classic", "gear", "cheby")
 
 
 def _zero_row_pad(x):
@@ -92,13 +84,16 @@ def solve_flow_system_local(
     classic PCG's three collective rounds (p·Ap / r·z / stopping ‖r‖²);
     ``algo='cheby'`` drops the per-iteration collectives to ZERO
     (Chebyshev semi-iteration, one psum per 16-iteration stopping block +
-    a one-time Lanczos bounds pass) at ~1.7× the iteration count — see
-    ``_MESH_ALGOS`` above and ``solvers/chebyshev.py``.
-    Measured 2.55× on the 2-process Gloo dryrun where every collective
-    round-trips the cross-process runtime (best-of-3, MULTIHOST.json;
-    solution diff vs classic 7e-7); single-chip, where reduces are
-    compute not latency, it is a measured loss (2.14→2.56 ms/iter,
-    DESIGN §4a).  Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
+    a one-time Lanczos bounds pass) at ~1.9× the iteration count
+    (``solvers/chebyshev.py``).
+    Measured on the 2-process Gloo dryrun where every collective
+    round-trips the cross-process runtime (best-of-3, MULTIHOST.json):
+    gear 1.49× and cheby 1.37–1.76× vs classic, trading places across
+    runs — localhost psums are cheap enough that cheby's iteration
+    penalty cancels its 16× lower psum rate; on a latency-dominated
+    fabric the per-iteration collective count (3 / 1 / 1-per-16) is
+    what scales.  Single-chip both are measured losses (DESIGN §4a).
+    Default follows ``OFTPU_CG_ALGO`` ('classic' unless set:
     same-recurrence-everywhere keeps sharded-vs-single-device parity at
     the 1e-8 the test suite pins).
     """
@@ -106,10 +101,7 @@ def solve_flow_system_local(
         from optical_flow_tpu.solvers.cg import CG_ALGO
 
         algo = CG_ALGO
-    if algo not in _MESH_ALGOS:
-        raise ValueError(
-            f"Unknown mesh CG algo {algo!r}: expected one of {_MESH_ALGOS}"
-        )
+    _check_algo(algo)
     # loop-invariant weight halos: exchanged once, one stacked ppermute pair
     wu_v_e, wv_v_e = halo_exchange_rows_multi([sys.wu_v, sys.wv_v], 1, axis_name)
     wu_h_p = _zero_row_pad(sys.wu_h)

@@ -64,7 +64,7 @@ def _dot(a, b):
     return jnp.sum(a * b)
 
 
-_CG_ALGOS = ("classic", "gear")
+_CG_ALGOS = ("classic", "gear", "cheby")
 
 
 def _check_algo(algo: str) -> str:
@@ -486,11 +486,27 @@ def solve_flow_system(
         )
         du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
         dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
-        split_impl = (
-            pcg_solve_split_gear if _check_algo(CG_ALGO) == "gear" else pcg_solve_split
-        )
+        x0_split = None if x0 is None else (x0[..., 0], x0[..., 1])
+        apply_split = lambda xu, xv: system_apply_split(sys, xu, xv)
+        if _check_algo(CG_ALGO) == "cheby":
+            # single-chip measured REJECTION (0.49x at 4K — the study in
+            # solvers/chebyshev.py) but kept reachable so the env knob has
+            # uniform semantics with the mesh path, where it pays
+            from optical_flow_tpu.solvers.chebyshev import (
+                cheby_solve_split,
+                lanczos_bounds_split,
+            )
+
+            precond = _block_jacobi_split(du, dv, sys.a12)
+            lo, hi = lanczos_bounds_split(apply_split, precond, sys.b_u, sys.b_v)
+            xu, xv = cheby_solve_split(
+                apply_split, sys.b_u, sys.b_v, du, dv, lo, hi, rt,
+                4 * mi, a12=sys.a12, x0=x0_split,  # ~1.9x iters + K-block rounding
+            )
+            return jnp.stack([xu, xv], axis=-1)
+        split_impl = pcg_solve_split_gear if CG_ALGO == "gear" else pcg_solve_split
         xu, xv = split_impl(
-            lambda xu, xv: system_apply_split(sys, xu, xv),
+            apply_split,
             sys.b_u,
             sys.b_v,
             du,
@@ -498,7 +514,7 @@ def solve_flow_system(
             rt,
             mi,
             a12=sys.a12,
-            x0=None if x0 is None else (x0[..., 0], x0[..., 1]),
+            x0=x0_split,
         )
         return jnp.stack([xu, xv], axis=-1)
     if solver == "sor":

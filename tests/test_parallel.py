@@ -364,5 +364,5 @@ def test_distributed_cheby_matches_dense(rng):
     )
     np.testing.assert_allclose(x_ch, x_exact, atol=1e-6)
 
-    with pytest.raises(ValueError, match="Unknown mesh CG algo"):
+    with pytest.raises(ValueError, match="Unknown CG algo"):
         solve_flow_system_sharded(sys, mesh, algo="chebyshev")
