@@ -301,3 +301,18 @@ def test_cg_algo_validation():
     assert _check_algo("gear") == "gear"
     with _pytest.raises(ValueError, match="Unknown CG algo"):
         _check_algo("Gear")
+
+
+def test_solve_flow_system_cheby_env_optin(rng, monkeypatch):
+    """OFTPU_CG_ALGO=cheby is a uniform opt-in: the single-chip XLA path
+    must run it (measured-rejected for speed, but correct) rather than
+    crash, and reach the same fixed point as classic at its rtol."""
+    from optical_flow_tpu.solvers import cg as cg_mod
+
+    _, uv, duv, It, Ix, Iy = _rand_system(rng)
+    rho = Robust("charbonnier", (0.1,))
+    sys = build_irls_system(uv, duv, It, Ix, Iy, (rho, rho), (rho, rho), rho, 2.5)
+    x_classic = np.asarray(solve_flow_system(sys, "backslash", 1e-3, 200, 1e-10, 4000))
+    monkeypatch.setattr(cg_mod, "CG_ALGO", "cheby")
+    x_cheby = np.asarray(solve_flow_system(sys, "backslash", 1e-3, 200, 1e-10, 4000))
+    np.testing.assert_allclose(x_cheby, x_classic, rtol=1e-5, atol=1e-7)
