@@ -148,6 +148,22 @@ def main():
             ),
             flush=True,
         )
+    # shared degraded-worker telemetry (see bench.py): a sick worker can
+    # inflate any single window multi-x while steady-state is normal —
+    # the per-B trial lists + trial0/best ratios let a reviewer tell
+    # measurement from pathology inside the artifact itself
+    print(
+        json.dumps(
+            {
+                "worker_health": health,
+                "worker_suspect": any(
+                    h["trial0_over_best"] > 2.0 for h in health.values()
+                ),
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
