@@ -37,7 +37,15 @@ from optical_flow_tpu.ops.stencil import (
 # (~0.01-0.07 ms/solve; whole-frame 0.286 -> 0.247 s, same AAE/AEPE).
 CG_IMPL = os.environ.get("OFTPU_CG_IMPL", "auto")
 
-# 'classic' | 'gear' — iteration recurrence for the XLA CG paths.  'gear'
+# 'classic' | 'gear' | 'cheby' — iteration recurrence for the XLA CG
+# paths.  READ AT TRACE TIME: set OFTPU_CG_ALGO before the first flow is
+# computed.  The sharded level programs carry CG_ALGO in their jit cache
+# key (parallel/spatial.py) so a mid-process flip retraces them, but the
+# single-chip method programs are keyed on their frozen config dataclasses
+# alone — already-compiled programs keep the recurrence they were traced
+# with (bench/study code that must flip mid-process calls the solver
+# functions directly, which read the current value eagerly).
+# 'gear'
 # (Chronopoulos–Gear PCG) makes the three per-iteration scalar reductions
 # (r·u, w·u, ‖r‖²) mutually independent; on a device mesh they then ride
 # ONE stacked psum instead of classic PCG's three collective rounds
