@@ -366,3 +366,35 @@ def test_distributed_cheby_matches_dense(rng):
 
     with pytest.raises(ValueError, match="Unknown CG algo"):
         solve_flow_system_sharded(sys, mesh, algo="chebyshev")
+
+
+@needs_8
+def test_distributed_cg_ppermute_count_pinned(rng):
+    """r5 collective hygiene: the channel-split mesh CG hoists the
+    loop-invariant weight halos out of the loop and exchanges both plane
+    strips in ONE stacked ppermute pair — per operator apply that is 2
+    collective-permutes (down+up), with exactly 3 applies in the classic
+    program (initial residual + body apply + the hoisted weights' single
+    exchange).  Total lowered count pins the structure: a regression to
+    per-apply weight exchange (the r4 layout: 8 ppermutes/apply) would
+    roughly double these totals."""
+    import jax
+
+    from optical_flow_tpu.parallel.dist import solve_flow_system_sharded
+
+    sys = _system(rng, 32, 24)
+    mesh = flow_mesh(batch=1, space=8)
+
+    def count(algo):
+        lowered = jax.jit(
+            lambda s: solve_flow_system_sharded(
+                s, mesh, rtol=1e-3, maxiter=200, algo=algo
+            )
+        ).lower(sys)
+        return lowered.as_text().count("collective_permute")
+
+    # classic: weights(2) + init residual apply(2) + body apply(2)
+    assert count("classic") == 6
+    # gear/cheby carry one extra setup apply (w0 = A u0 / the Lanczos scan)
+    assert count("gear") == 8
+    assert count("cheby") == 8
