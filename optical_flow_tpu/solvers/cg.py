@@ -45,15 +45,17 @@ CG_IMPL = os.environ.get("OFTPU_CG_IMPL", "auto")
 # alone — already-compiled programs keep the recurrence they were traced
 # with (bench/study code that must flip mid-process calls the solver
 # functions directly, which read the current value eagerly).
-# 'gear'
-# (Chronopoulos–Gear PCG) makes the three per-iteration scalar reductions
-# (r·u, w·u, ‖r‖²) mutually independent; on a device mesh they then ride
-# ONE stacked psum instead of classic PCG's three collective rounds
-# (parallel/dist.py) — measured 2.55× on the 2-process Gloo dryrun
-# (MULTIHOST.json).  Single-chip it is a measured REJECTION — the two
-# extra carried plane pairs cost more than the saved reduce pass at every
-# XLA-path size (2.14→2.56 ms/iter at 4K; DESIGN §4a) — so the default
-# stays 'classic'; flip to 'gear' on latency-bound multi-chip meshes.
+#
+# 'gear' (Chronopoulos–Gear PCG) makes the three per-iteration scalar
+# reductions (r·u, w·u, ‖r‖²) mutually independent: on a device mesh they
+# ride ONE stacked psum instead of classic PCG's three collective rounds
+# (parallel/dist.py; 1.49× on the 2-process Gloo dryrun, MULTIHOST.json).
+# 'cheby' (Chebyshev semi-iteration, solvers/chebyshev.py) carries ZERO
+# collectives in the body — 1 psum per 16-iteration stopping block — at
+# ~1.9× the iteration count (1.37–1.76× on the dryrun).  Single-chip BOTH
+# are measured rejections (gear: extra carried plane pairs; cheby: the
+# iteration is already at the stencil bandwidth floor so the removed
+# reduces buy nothing — DESIGN §4a), so the default stays 'classic'.
 CG_ALGO = os.environ.get("OFTPU_CG_ALGO", "classic")
 
 
@@ -190,76 +192,6 @@ def pcg_solve(apply_A, b, diag, rtol, maxiter, x0=None, dot=_dot, sync_axes=(), 
     _, x, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x
 
-
-def pcg_solve_gear(
-    apply_A, b, diag, rtol, maxiter, x0=None, dots3=None, sync_axes=(), a12=None
-):
-    """Chronopoulos–Gear PCG with a SINGLE combined reduction per iteration.
-
-    Same fixed point, preconditioner, and stopping rule as
-    :func:`pcg_solve` (see :func:`pcg_solve_split_gear` for the recurrence
-    derivation); the point here is the *distributed* path: classic PCG
-    needs three ``psum`` rounds per iteration (p·Ap, then r·z after the
-    α-update, plus the stopping-rule ‖r‖² — the first is separated from
-    the others by a true data dependency), while the Gear recurrence makes
-    all three scalars functions of (r, u=M⁻¹r, w=Au) available at one
-    program point, so ``dots3`` can reduce them in ONE stacked collective
-    — a 3× cut in per-iteration collective count (HLO-pinned).  Measured
-    2.55× on the 2-process Gloo dryrun (best-of-3, MULTIHOST.json) where
-    every psum round-trips the cross-process runtime; single-chip, where
-    reduces are compute not latency, the extra carried vectors make it a
-    measured loss (DESIGN §4a) — why 'classic' stays the default.
-
-    ``dots3(r, u, w) -> (r·u, w·u, r·r)`` is injectable so the sharded
-    caller (``parallel/dist.py``) can fold the mesh ``psum`` over a
-    stacked 3-vector; the default reduces locally.
-    """
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-    precond = _block_jacobi_stacked(diag, a12)
-
-    if dots3 is None:
-
-        def dots3(r, u, w):
-            return _dot(r, u), _dot(w, u), _dot(r, r)
-
-    r0 = b - apply_A(x0)
-    u0 = precond(r0)
-    w0 = apply_A(u0)
-    gamma0, delta0, rr0 = dots3(r0, u0, w0)
-    # the [2] slot of dots3 is r·r; the other two duplicate b·b and CSE away
-    tol2 = (rtol**2) * dots3(b, b, b)[2]
-    alpha0 = jnp.where(delta0 != 0.0, gamma0 / delta0, 0.0)
-    beta0 = jnp.zeros_like(gamma0)
-    z = jnp.zeros_like(b)
-
-    def cond(state):
-        k = state[0]
-        rr = state[-1]
-        unconverged = (rr > tol2).astype(jnp.int32)
-        for axn in sync_axes:
-            unconverged = jax.lax.pmax(unconverged, axn)
-        return jnp.logical_and(k < maxiter, unconverged > 0)
-
-    def body(state):
-        k, x, r, u, w, p, s, gamma, alpha, beta, _rr = state
-        p = u + beta * p
-        s = w + beta * s
-        x = x + alpha * p
-        r = r - alpha * s
-        u = precond(r)
-        w = apply_A(u)
-        gamma_new, delta, rr = dots3(r, u, w)
-        beta_new = jnp.where(gamma != 0.0, gamma_new / gamma, 0.0)
-        denom = delta - beta_new * jnp.where(alpha != 0.0, gamma_new / alpha, 0.0)
-        alpha_new = jnp.where(denom != 0.0, gamma_new / denom, 0.0)
-        return (k + 1, x, r, u, w, p, s, gamma_new, alpha_new, beta_new, rr)
-
-    state = (jnp.asarray(0), x0, r0, u0, w0, z, z, gamma0, alpha0, beta0, rr0)
-    out = jax.lax.while_loop(cond, body, state)
-    return out[1]
-
-
 def pcg_solve_split(
     apply_A, bu, bv, du, dv, rtol, maxiter, a12=None, x0=None, dot2=None,
     sync_axes=(), return_iters=False,
@@ -371,7 +303,7 @@ def pcg_solve_split_gear(
     passes); gear2 — forcing one pass by stacking the three summands into
     a (3, H, W) reduce — materializes the stack and loses more.  The
     recurrence only pays where a reduce costs a COLLECTIVE round:
-    :func:`pcg_solve_gear` + ``parallel/dist.py`` (3 psums -> 1 per
+    the mesh path (``parallel/dist.py``, 3 psums -> 1 per
     iteration, HLO-verified).  Solutions are identical to classic within
     recurrence rounding (max |dx| 4.8e-7 on the 4K A/B at rtol 1e-3 AND
     at tight 1e-7; ``test_stencil.py::test_pcg_gear_matches_classic``).
