@@ -203,11 +203,12 @@ def main():
         with open(out_path, "w") as f:  # incremental: survive worker wedges
             json.dump(results, f, indent=1)
 
-    r4k = results["sizes"]["2160x3840"]
-    results["verdict"] = (
-        "ACCEPT" if r4k["cheby_speedup_conv"] > 1.05 else
-        ("WASH" if r4k["cheby_speedup_conv"] > 0.95 else "REJECT")
-    )
+    r4k = results["sizes"].get("2160x3840")
+    if r4k is not None:  # partial runs (single-size resume) skip the verdict
+        results["verdict"] = (
+            "ACCEPT" if r4k["cheby_speedup_conv"] > 1.05 else
+            ("WASH" if r4k["cheby_speedup_conv"] > 0.95 else "REJECT")
+        )
     results["method"] = {
         "stopping": f"||r|| <= {rtol} ||b||, checked every {K} iters (cheby) / every iter (cg)",
         "timing": "checksum-synced best-of-3 jitted walls (block_until_ready lies over axon)",
@@ -215,8 +216,8 @@ def main():
     }
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps({"verdict": results["verdict"],
-                      "4k": results["sizes"]["2160x3840"]}))
+    print(json.dumps({"verdict": results.get("verdict"),
+                      "4k": results["sizes"].get("2160x3840")}))
 
 
 if __name__ == "__main__":

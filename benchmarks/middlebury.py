@@ -108,7 +108,11 @@ def main():
     retried = [k for k, r in seq_rows.items() if len(r["sec_trials"]) > 2]
     results["_worker_health"] = {
         "max_warmup_over_steady": round(
-            max(r["warmup_sec"] / max(r["sec"], 1e-9) for r in seq_rows.values()), 1
+            max(
+                (r["warmup_sec"] / max(r["sec"], 1e-9) for r in seq_rows.values()),
+                default=0.0,
+            ),
+            1,
         ),
         "sequences_needing_retry": retried,
         "worker_suspect": bool(retried),

@@ -192,6 +192,13 @@ def worker(pid: int, nproc: int, port: int) -> None:
     # ------------------------------------------------------------------
     from optical_flow_tpu.solvers import cg as cg_mod
 
+    prior_algo = cg_mod.CG_ALGO
+    if prior_algo != "classic":
+        # the SP rows above are only a valid classic baseline when the env
+        # knob was classic — re-measure under an explicit pin otherwise
+        cg_mod.CG_ALGO = "classic"
+        jax.block_until_ready(level_sharded())  # compile classic program
+        res["sp_steady_s"], res["sp_steady_trials_s"] = timed_best(level_sharded)
     res["level_classic_s"] = res["sp_steady_s"]
     res["level_classic_trials_s"] = res["sp_steady_trials_s"]
     cg_mod.CG_ALGO = "gear"
@@ -200,7 +207,7 @@ def worker(pid: int, nproc: int, port: int) -> None:
         res["level_gear_s"], res["level_gear_trials_s"] = timed_best(level_sharded)
         out2g_g = np.asarray(multihost_utils.process_allgather(out2g, tiled=True))
     finally:
-        cg_mod.CG_ALGO = "classic"
+        cg_mod.CG_ALGO = prior_algo
     res["level_gear_vs_classic_max_diff"] = float(np.abs(out2g_g - out2_g).max())
     res["level_gear_speedup"] = round(
         res["level_classic_s"] / max(res["level_gear_s"], 1e-9), 2

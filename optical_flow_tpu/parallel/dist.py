@@ -121,6 +121,11 @@ def solve_flow_system_local(
 
     # a12 is per-pixel local: the block-Jacobi preconditioner shards freely
     x0_split = None if x0 is None else (x0[..., 0], x0[..., 1])
+    # shared psum-reduced dot for the classic and cheby recurrences (gear
+    # folds its three scalars into one stacked psum instead)
+    dot2 = lambda au, av, bu_, bv_: lax.psum(
+        jnp.sum(au * bu_) + jnp.sum(av * bv_), axis_name
+    )
     if algo == "cheby":
         from optical_flow_tpu.solvers.cg import _block_jacobi_split
         from optical_flow_tpu.solvers.chebyshev import (
@@ -128,9 +133,6 @@ def solve_flow_system_local(
             lanczos_bounds_split,
         )
 
-        dot2 = lambda au, av, bu_, bv_: lax.psum(
-            jnp.sum(au * bu_) + jnp.sum(av * bv_), axis_name
-        )
         precond = _block_jacobi_split(du, dv, sys.a12)
         # bounds: 12 Lanczos steps with psum'd dots (once per solve); the
         # small eigvalsh is replicated per shard — identical inputs,
@@ -138,8 +140,13 @@ def solve_flow_system_local(
         lo, hi = lanczos_bounds_split(
             apply_A, precond, sys.b_u, sys.b_v, k=12, dot2=dot2
         )
+        # 4x the caller's maxiter, mirroring the single-chip cheby path
+        # (solvers/cg.py): the minimax polynomial needs ~1.9x CG's
+        # iterations plus K-block rounding — an unscaled budget would
+        # truncate at the CG-sized cap and silently return an
+        # unconverged solution
         xu, xv = cheby_solve_split(
-            apply_A, sys.b_u, sys.b_v, du, dv, lo, hi, rtol, maxiter,
+            apply_A, sys.b_u, sys.b_v, du, dv, lo, hi, rtol, 4 * maxiter,
             a12=sys.a12, x0=x0_split, dot2=dot2, sync_axes=sync_axes,
         )
     elif algo == "gear":
@@ -160,9 +167,6 @@ def solve_flow_system_local(
             a12=sys.a12, x0=x0_split, dots3=dots3, sync_axes=sync_axes,
         )
     else:
-        dot2 = lambda au, av, bu_, bv_: lax.psum(
-            jnp.sum(au * bu_) + jnp.sum(av * bv_), axis_name
-        )
         xu, xv = pcg_solve_split(
             apply_A, sys.b_u, sys.b_v, du, dv, rtol, maxiter,
             a12=sys.a12, x0=x0_split, dot2=dot2, sync_axes=sync_axes,

@@ -406,6 +406,10 @@ def solve_flow_system(
     ``sor_omega`` / ``sor_max_iters`` / ``sor_tol`` attributes through
     ``BaseOpticalFlow._solver_cfg``.
     """
+    # validate the algo knob BEFORE any fast-path return: a typo'd
+    # OFTPU_CG_ALGO must raise on the production TPU kernel path too,
+    # not just on the XLA paths that happen to read it
+    _check_algo(CG_ALGO)
     if solver in ("pcg", "backslash") and x0 is None and _use_cg_kernel(sys):
         from optical_flow_tpu.ops.pallas.cg_kernel import cg_solve_pallas
 
@@ -428,7 +432,7 @@ def solve_flow_system(
         dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
         x0_split = None if x0 is None else (x0[..., 0], x0[..., 1])
         apply_split = lambda xu, xv: system_apply_split(sys, xu, xv)
-        if _check_algo(CG_ALGO) == "cheby":
+        if CG_ALGO == "cheby":
             # single-chip measured REJECTION (0.49x at 4K — the study in
             # solvers/chebyshev.py) but kept reachable so the env knob has
             # uniform semantics with the mesh path, where it pays

@@ -148,6 +148,16 @@ def cheby_solve_split(
         d = (λmax+λmin)/2,  c = (λmax−λmin)/2
         α₁ = 1/d;  αₖ = 1/(d − c²αₖ₋₁/4);  βₖ = (c·αₖ₋₁/2)²·... (folded)
         p ← z + β p;  x ← x + α p;  r ← r − α A p
+
+    STAGNATION DIAGNOSTIC: eigenvalues outside [lmin, lmax] make the
+    iteration stagnate (not diverge) — the loop then spins to ``maxiter``
+    and returns with the stopping rule unmet, exactly like CG at an
+    exhausted budget (reference semantics).  The 12-step Lanczos bounds'
+    smallest Ritz value converges slowest, so ``shrink=0.8`` is margin,
+    not a guarantee; callers that need certainty pass
+    ``return_iters=True`` and treat ``k >= maxiter`` as not-converged
+    (the study harness also re-checks ‖r‖/‖b‖ explicitly —
+    ``cheby_relres`` in results_cheby_study.json).
     """
     from optical_flow_tpu.solvers.cg import _block_jacobi_split
 
@@ -204,22 +214,3 @@ def cheby_solve_split(
     if return_iters:
         return out[1], out[2], out[0]
     return out[1], out[2]
-
-
-def cheby_solve_system(sys, rtol=1e-3, maxiter=400, lanczos_k=12,
-                       check_every=16):
-    """Convenience wrapper: Lanczos bounds + Chebyshev solve on a FlowSystem."""
-    from optical_flow_tpu.ops.stencil import system_apply_split, weighted_laplacian_diag
-    from optical_flow_tpu.solvers.cg import _block_jacobi_split
-
-    du = sys.a11 + weighted_laplacian_diag(sys.wu_h, sys.wu_v)
-    dv = sys.a22 + weighted_laplacian_diag(sys.wv_h, sys.wv_v)
-    apply_A = partial(system_apply_split, sys)
-    precond = _block_jacobi_split(du, dv, sys.a12)
-    lmin, lmax = lanczos_bounds_split(apply_A, precond, sys.b_u, sys.b_v,
-                                      k=lanczos_k)
-    xu, xv = cheby_solve_split(
-        apply_A, sys.b_u, sys.b_v, du, dv, lmin, lmax, rtol, maxiter,
-        a12=sys.a12, check_every=check_every,
-    )
-    return jnp.stack([xu, xv], axis=-1)
